@@ -1,0 +1,79 @@
+"""Runtime configuration for renders and fits.
+
+The reference selects behavior with compile-time ``#define``s
+(``distance_solvers.h:142-147``, ``gmm.h:161-163``, ``tests/main.cpp:11-12``);
+here everything is a runtime dataclass whose fields become static jit
+arguments, selecting traced code paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Solver(enum.Enum):
+    """Free-flight distance solver (reference ``distance_solvers.h``).
+
+    All solvers run a *fixed* number of iterations — fixed trip counts are
+    free on TPU, so the reference's early-exit tolerances become pure
+    iteration-count choices.
+
+    * ``NEWTON``: safeguarded Newton (bisection bracket + Newton step,
+      branchless selects) on the *global* clipped optical-depth function
+      tau(t).  This subsumes the reference's segment search + per-segment
+      Newton (``integrator.h:422-498`` + ``distance_solvers.h:62-127``):
+      tau(t) is the same monotone function, so the root is identical.
+    * ``BISECTION``: fixed-iteration bisection on the same function
+      (reference ``distance_solvers.h:25-57``).
+    * ``ANALYTIC_NEWTON``: when exactly one Gaussian overlaps the bracketed
+      segment, invert analytically via erfinv (reference
+      ``gaussian.h:235-297``); otherwise safeguarded Newton.  The reference
+      default ``ANALYTIC_PLUS_NEWTON`` (``distance_solvers.h:146``).
+    * ``UNIFORM``: uniform sample inside the critical segment (reference
+      ``distance_solvers.h:132-137``) — ablation only.
+    """
+
+    NEWTON = "newton"
+    BISECTION = "bisection"
+    ANALYTIC_NEWTON = "analytic_newton"
+    UNIFORM = "uniform"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static knobs shared by the integrators.
+
+    Defaults mirror the reference driver (``tests/main.cpp:17-42``,
+    integrator ctor defaults ``integrator.h:138,278-281,501-505``).
+    """
+
+    width: int = 512
+    height: int = 512
+    spp: int = 256                 # samples per pixel (MC integrators)
+    min_scatter: int = 5           # bounces before Russian roulette kicks in
+    rr_cap: float = 0.9            # RR survival probability cap
+    max_bounces: int = 64          # hard safety bound for the while_loop
+    step_size: float = 0.01        # ray-march step (deterministic integrators)
+    env_samples: int = 20          # env direction samples (ray marchers)
+    solver: Solver = Solver.ANALYTIC_NEWTON
+    solver_iters: int = 24         # fixed Newton/bisection trip count
+    ray_chunk: int = 1 << 16       # rays per jitted chunk (memory bound)
+    seed: int = 0                  # base RNG seed
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Inverse-rendering configuration (reference ``SFDDConfig``,
+    ``inverse_integrator.h:52-57``)."""
+
+    max_iters: int = 1000
+    save_every: int = 25
+    lr: float = 1e-2
+    spp: int = 16
+    num_stoch_samples: int = 4     # SFD validation mode only
+    checkpoint_every: int = 100
+    out_dir: str = "./fit_output"

@@ -1,0 +1,65 @@
+"""Single-scatter free-flight Monte Carlo integrator.
+
+Reference ``FreeFlightGaussians`` (integrator.h:273-409): stratified pixel
+samples, one free-flight distance per path, NEE to one of (lights + env),
+no recursion.  Exactly the first bounce of the multi-scatter tracer, so it
+shares all machinery.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvr_tpu.config import RenderConfig, Solver
+from gvr_tpu.scene.scene import Scene
+from gvr_tpu.ops.transmittance import tau_coeffs
+from gvr_tpu.ops.solvers import sample_free_flight
+from gvr_tpu.integrators.common import pick_chunk
+from gvr_tpu.integrators.multiscatter import _nee, mc_camera_rays
+from gvr_tpu.integrators.raymarch import INV_4PI
+
+
+def single_scatter_radiance(scene: Scene, origin, direction, keys,
+                            cfg: RenderConfig):
+    gmm = scene.medium
+
+    xi = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 0),
+                                               (9,)))(keys)
+    rg = tau_coeffs(gmm, origin, direction)
+    target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
+    u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
+    t_sc, scattered = sample_free_flight(
+        rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
+
+    pos = origin + t_sc[:, None] * direction
+    active = rg.hit & (rg.t0 <= t_sc[:, None]) & (t_sc[:, None] <= rg.t1)
+    albedo = gmm.albedo_at(pos, active)
+
+    li, w_ne = _nee(scene, gmm, pos, xi[:, 1], xi[:, 2], xi[:, 3:5])
+    scatter_l = (albedo * INV_4PI * w_ne)[:, None] * li
+    return jnp.where(scattered[:, None], scatter_l,
+                     jnp.broadcast_to(scene.env_color, pos.shape))
+
+
+def render_single_scatter(scene: Scene, camera, cfg: RenderConfig,
+                          progress=False) -> np.ndarray:
+    w, h = cfg.width, cfg.height
+    base_key = jax.random.key(cfg.seed)
+
+    def radiance(sc: Scene, ids, si):
+        o, d, keys = mc_camera_rays(sc, camera, cfg, ids, si, base_key)
+        return single_scatter_radiance(sc, o, d, keys, cfg)
+
+    fn = jax.jit(radiance)
+    chunk = pick_chunk(cfg, scene.medium.n)
+    acc = np.zeros((w * h, 3), np.float32)
+    for si in range(cfg.spp):
+        for start in range(0, w * h, chunk):
+            ids = np.arange(start, start + chunk, dtype=np.int32)
+            ids = np.minimum(ids, w * h - 1)
+            vals = np.asarray(fn(scene, jnp.asarray(ids), jnp.int32(si)))
+            stop = min(start + chunk, w * h)
+            acc[start:stop] += vals[: stop - start]
+    return (acc / cfg.spp).reshape(h, w, 3)

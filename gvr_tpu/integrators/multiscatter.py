@@ -1,0 +1,178 @@
+"""Multi-scatter Monte Carlo volumetric path tracer — the flagship.
+
+Reference ``MultiScatterGaussians`` (integrator.h:417-720): per path —
+free-flight sampling by regular tracking, NEE to one of (lights + env) per
+bounce, isotropic phase, throughput *= albedo, Russian roulette after
+``min_scatter`` bounces capped at 0.9.
+
+TPU formulation (wavefront): one ``lax.while_loop`` steps a whole ray batch
+through bounces with a live mask; every per-bounce op is dense
+[rays, gaussians] MXU/VPU work.  The per-bounce event gather + sort + active
+set walk of the reference collapses into the clipped-interval free-flight
+solve (ops/solvers.py).  NEE needs exactly one extra transmittance
+evaluation per bounce: the light/env choice picks the direction *first*,
+then a single closed-form transmittance is evaluated (the reference computes
+the same quantity through a BVH walk, gmm.h:517-578).
+
+RNG: per-ray threefry keys folded with the bounce index; 9 uniforms per
+bounce (target tau, NEE choice, light index, env direction x2, RR, scatter
+direction x2, uniform-solver sample).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvr_tpu.config import RenderConfig, Solver
+from gvr_tpu.scene.scene import Scene
+from gvr_tpu.ops.transmittance import tau_coeffs, tau_up_to, transmittance_up_to
+from gvr_tpu.ops.solvers import sample_free_flight
+from gvr_tpu.ops.sampling import path_key
+from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
+from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
+
+
+def _nee(sc: Scene, gmm, pos, xi_choice, xi_light, xi_env2):
+    """Next-event estimation: sample one of (num_lights point lights + env)
+    with probability 1/(L+1) each (integrator.h:657-683).
+
+    Returns (Li [B,3], weight (L+1)); Li already includes transmittance and
+    the 4*pi factor for the env branch (integrator.h:677)."""
+    num_lights = sc.lights_p.shape[0]
+    b = pos.shape[0]
+
+    wi_env = _dir_from_xi(xi_env2)
+
+    if num_lights == 0:
+        tr = transmittance_up_to(gmm, pos, wi_env, jnp.float32(1e8))
+        li = tr[:, None] * sc.env_color * FOUR_PI
+        return li, 1.0
+
+    is_env = xi_choice < 1.0 / (num_lights + 1)
+    lidx = jnp.clip((xi_light * num_lights).astype(jnp.int32),
+                    0, num_lights - 1)
+    lp = sc.lights_p[lidx]                                  # [B,3]
+    linten = sc.lights_i[lidx]
+    to_l = lp - pos
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    wi_l = to_l / jnp.maximum(dist, 1e-12)[:, None]
+
+    wi = jnp.where(is_env[:, None], wi_env, wi_l)
+    tmax = jnp.where(is_env, jnp.float32(1e8), dist)
+    tr = transmittance_up_to(gmm, pos, wi, tmax)
+
+    li_light = tr[:, None] * linten / jnp.maximum(dist * dist, 1e-12)[:, None]
+    li_env = tr[:, None] * sc.env_color * FOUR_PI
+    li = jnp.where(is_env[:, None], li_env, li_light)
+    return li, float(num_lights + 1)
+
+
+def multiscatter_radiance(scene: Scene, origin, direction, keys,
+                          cfg: RenderConfig):
+    """Trace a batch of rays to completion.  origin/direction [B,3],
+    keys [B] per-path PRNG keys.  Returns radiance [B,3]."""
+    gmm = scene.medium
+    b = origin.shape[0]
+
+    def uniforms(keys, bounce, n=9):
+        ks = jax.vmap(lambda k: jax.random.fold_in(k, bounce))(keys)
+        return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(ks)
+
+    def cond(state):
+        o, d, thr, rad, alive, bounce = state
+        return jnp.any(alive) & (bounce < cfg.max_bounces)
+
+    def body(state):
+        o, d, thr, rad, alive, bounce = state
+        rg = tau_coeffs(gmm, o, d)
+        xi = uniforms(keys, bounce)                          # [B,9]
+
+        # free-flight distance by regular tracking (integrator.h:599-614)
+        target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
+        u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
+        t_sc, scattered = sample_free_flight(
+            rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
+
+        # escaped rays collect the environment (integrator.h:594-597,647-650)
+        escaped = alive & ~scattered
+        rad = rad + jnp.where(escaped[:, None], thr * scene.env_color, 0.0)
+        alive_n = alive & scattered
+
+        pos = o + t_sc[:, None] * d
+        active = rg.hit & (rg.t0 <= t_sc[:, None]) & (t_sc[:, None] <= rg.t1)
+        albedo = gmm.albedo_at(pos, active)                  # [B]
+
+        # NEE (one light or env per bounce)
+        li, w_ne = _nee(scene, gmm, pos, xi[:, 1], xi[:, 2], xi[:, 3:5])
+        contrib = thr * (albedo * INV_4PI * w_ne)[:, None] * li
+        rad = rad + jnp.where(alive_n[:, None], contrib, 0.0)
+
+        # throughput update + Russian roulette (integrator.h:688-695)
+        thr_n = thr * albedo[:, None]
+        do_rr = bounce >= cfg.min_scatter
+        rr = jnp.minimum(jnp.max(thr_n, axis=-1), cfg.rr_cap)
+        killed = do_rr & (xi[:, 5] > rr)
+        thr_n = jnp.where((do_rr & ~killed)[:, None],
+                          thr_n / jnp.maximum(rr, 1e-12)[:, None], thr_n)
+        alive_n = alive_n & ~killed
+
+        # isotropic phase resample (integrator.h:698-699)
+        new_d = _dir_from_xi(xi[:, 6:8])
+
+        o = jnp.where(alive_n[:, None], pos, o)
+        d = jnp.where(alive_n[:, None], new_d, d)
+        thr = jnp.where(alive_n[:, None], thr_n, thr)
+        return o, d, thr, rad, alive_n, bounce + 1
+
+    state = (origin, direction,
+             jnp.ones((b, 3)), jnp.zeros((b, 3)),
+             jnp.ones((b,), bool), jnp.int32(0))
+    *_, rad, alive, _ = jax.lax.while_loop(cond, body, state)
+    return rad
+
+
+def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx,
+                   base_key):
+    """Stratified primary rays for MC integrators (integrator.h:557-570):
+    n = int(sqrt(spp)); cell (si % n, si // n); jitter from the path key."""
+    w, h = cfg.width, cfg.height
+    x, y = ids_to_pixels(ids, w)
+    keys = jax.vmap(lambda a, b: path_key(base_key, a, b, sample_idx))(x, y)
+    jkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5eed))(keys)
+    xi = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(jkeys)
+    n = max(int(cfg.spp ** 0.5), 1)
+    sx = (sample_idx % n).astype(jnp.float32)
+    sy = (sample_idx // n).astype(jnp.float32)
+    u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n) / w
+    v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n) / h
+    o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
+    return o, d, keys
+
+
+def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
+                        progress=False) -> np.ndarray:
+    """Full MC render: accumulate spp stratified samples per pixel."""
+    w, h = cfg.width, cfg.height
+    base_key = jax.random.key(cfg.seed)
+
+    def radiance(sc: Scene, ids, si):
+        o, d, keys = mc_camera_rays(sc, camera, cfg, ids, si, base_key)
+        return multiscatter_radiance(sc, o, d, keys, cfg)
+
+    fn = jax.jit(radiance)
+    chunk = pick_chunk(cfg, scene.medium.n)
+    acc = np.zeros((w * h, 3), np.float32)
+    for si in range(cfg.spp):
+        for start in range(0, w * h, chunk):
+            ids = np.arange(start, start + chunk, dtype=np.int32)
+            ids = np.minimum(ids, w * h - 1)
+            vals = np.asarray(fn(scene, jnp.asarray(ids), jnp.int32(si)))
+            stop = min(start + chunk, w * h)
+            acc[start:stop] += vals[: stop - start]
+        if progress and (si + 1) % 16 == 0:
+            print(f"  sample {si + 1}/{cfg.spp}")
+    return (acc / cfg.spp).reshape(h, w, 3)

@@ -1,0 +1,221 @@
+"""Deterministic single-scatter ray marchers with analytic transmittance.
+
+References:
+  * ``RayMarchingGaussians`` (test_integrators.h:143-297): fixed-step march,
+    per-step analytic (erf) segment transmittance, NEE to every point light
+    with analytic shadow transmittance, Monte Carlo environment sampling.
+  * ``RayMarchingSpheres`` (test_integrators.h:11-136): same structure with
+    piecewise-constant transmittance.
+  * ``PureRayMarching`` (integrator.h:100-267): medium-agnostic variant that
+    *marches* shadow/env transmittance; provided as ``march_transmittance``
+    mode mostly for cross-validation (it converges to the analytic one as
+    step -> 0).
+
+TPU formulation: the event-driven active set of the reference is the mask
+``(t0 <= t) & (t < t1)`` per (ray, gaussian); shadow/env transmittance is the
+closed-form clipped-interval reduction (ops/transmittance.py).  The march is
+a ``fori_loop`` with a static step count bound derived from the farthest
+medium exit over the whole image, with per-ray masking — no data-dependent
+shapes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvr_tpu.config import RenderConfig
+from gvr_tpu.scene.scene import Scene
+from gvr_tpu.ops.transmittance import (
+    tau_coeffs, tau_interval, transmittance_up_to, far_bound, any_hit)
+from gvr_tpu.ops.sampling import sample_uniform_direction, path_key
+from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
+
+INV_4PI = 1.0 / (4.0 * math.pi)
+FOUR_PI = 4.0 * math.pi
+
+
+def _scene_t_end(scene, camera, cfg) -> float:
+    """Static bound on the march length: max medium-exit distance over all
+    pixel-center rays (host-side prepass)."""
+    w, h = cfg.width, cfg.height
+
+    def chunk_max(sc, ids):
+        x, y = ids_to_pixels(ids, w)
+        u = (x.astype(jnp.float32) + 0.5) / w
+        v = (y.astype(jnp.float32) + 0.5) / h
+        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
+        rg = tau_coeffs(sc.medium, o, d)
+        return jnp.broadcast_to(far_bound(rg)[:, None], (ids.shape[0], 3))
+
+    vals = render_chunked(scene, chunk_max, w * h, pick_chunk(cfg, scene.medium.n))
+    return float(vals[:, 0].max())
+
+
+def render_raymarch_gaussians(scene: Scene, camera,
+                              cfg: RenderConfig) -> np.ndarray:
+    """Analytic-transmittance Gaussian ray marcher
+    (= RayMarchingGaussians, test_integrators.h:143)."""
+    w, h = cfg.width, cfg.height
+    step = cfg.step_size
+    t_end_max = _scene_t_end(scene, camera, cfg)
+    n_steps = max(1, int(math.ceil(t_end_max / step)) + 1)
+    base_key = jax.random.key(cfg.seed)
+
+    def radiance(sc: Scene, ids):
+        gmm = sc.medium
+        x, y = ids_to_pixels(ids, w)
+        u = (x.astype(jnp.float32) + 0.5) / w
+        v = (y.astype(jnp.float32) + 0.5) / h
+        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))   # [B,3]
+        rg = tau_coeffs(gmm, o, d)
+        hit_any = any_hit(rg)
+        t_end = far_bound(rg)                                  # [B]
+        keys = jax.vmap(lambda a, b: path_key(base_key, a, b, 0))(x, y)
+
+        def body(k, carry):
+            big_t, radiance_acc = carry
+            t = k * step
+            live = (t < t_end) & hit_any
+            pos = o + t * d                                    # [B,3]
+            active = rg.hit & (rg.t0 <= t) & (t < rg.t1)       # [B,N]
+            sigma_a, sigma_s = gmm.sigma_albedo(pos, active)
+
+            # --- point lights: analytic shadow transmittance ---
+            li = jnp.zeros_like(pos)
+            for l in range(sc.lights_p.shape[0]):
+                lp = sc.lights_p[l]
+                wi = lp - pos
+                dist = jnp.linalg.norm(wi, axis=-1)
+                wi = wi / dist[..., None]
+                tr = transmittance_up_to(gmm, pos, wi, dist)
+                li = li + tr[:, None] * sc.lights_i[l] / (dist * dist)[:, None]
+
+            # --- environment: MC directions, analytic transmittance ---
+            step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, k))(keys)
+
+            def env_one(e, acc):
+                ekeys = jax.vmap(lambda kk: jax.random.fold_in(kk, e))(step_keys)
+                xi = jax.vmap(lambda kk: jax.random.uniform(kk, (2,)))(ekeys)
+                wdir = _dir_from_xi(xi)
+                tr = transmittance_up_to(gmm, pos, wdir, jnp.float32(1e8))
+                return acc + tr[:, None] * sc.env_color
+
+            le = jax.lax.fori_loop(0, cfg.env_samples, env_one,
+                                   jnp.zeros_like(pos))
+            le = le / cfg.env_samples * FOUR_PI
+
+            contrib = (big_t * sigma_s)[:, None] * (li + le) * (step * INV_4PI)
+            radiance_acc = radiance_acc + jnp.where(live[:, None], contrib, 0.0)
+
+            # analytic per-step transmittance over the active set
+            # (gmm.h:145-157 via test_integrators.h:281-287)
+            seg_tau = jnp.sum(
+                jnp.where(active, tau_interval(rg, t, t + step), 0.0), axis=-1)
+            big_t = jnp.where(live, big_t * jnp.exp(-seg_tau), big_t)
+            return big_t, radiance_acc
+
+        big_t, rad = jax.lax.fori_loop(
+            0, n_steps, body,
+            (jnp.ones(ids.shape[0]), jnp.zeros((ids.shape[0], 3))))
+        rad = rad + big_t[:, None] * sc.env_color
+        return jnp.where(hit_any[:, None], rad, sc.env_color[None, :])
+
+    # env sampling multiplies the [B,N] working set
+    chunk = pick_chunk(cfg, scene.medium.n * 4)
+    img = render_chunked(scene, radiance, w * h, chunk)
+    return img.reshape(h, w, 3)
+
+
+def _dir_from_xi(xi):
+    """Uniform sphere direction from two uniforms, reference
+    parameterization (integrator.h:32-44)."""
+    theta = 2.0 * jnp.pi * xi[..., 0]
+    cos_phi = 1.0 - 2.0 * xi[..., 1]
+    sin_phi = jnp.sqrt(jnp.maximum(1.0 - cos_phi * cos_phi, 0.0))
+    return jnp.stack([sin_phi * jnp.cos(theta),
+                      sin_phi * jnp.sin(theta),
+                      cos_phi], axis=-1)
+
+
+def render_raymarch_spheres(scene: Scene, camera,
+                            cfg: RenderConfig) -> np.ndarray:
+    """Sphere ray marcher with piecewise-constant analytic transmittance
+    (= RayMarchingSpheres, test_integrators.h:11-136)."""
+    w, h = cfg.width, cfg.height
+    step = cfg.step_size
+    base_key = jax.random.key(cfg.seed)
+
+    # static bound: farthest sphere exit over pixel rays
+    def t_end_chunk(sc, ids):
+        x, y = ids_to_pixels(ids, w)
+        u = (x.astype(jnp.float32) + 0.5) / w
+        v = (y.astype(jnp.float32) + 0.5) / h
+        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
+        t0, t1, hitm = sc.medium.intersect(o, d)
+        t_end = jnp.max(jnp.where(hitm, t1, 0.0), axis=-1)
+        return jnp.broadcast_to(t_end[:, None], (ids.shape[0], 3))
+
+    vals = render_chunked(scene, t_end_chunk, w * h, pick_chunk(cfg, scene.medium.n))
+    n_steps = max(1, int(math.ceil(float(vals[:, 0].max()) / step)) + 1)
+
+    def radiance(sc: Scene, ids):
+        smm = sc.medium
+        x, y = ids_to_pixels(ids, w)
+        u = (x.astype(jnp.float32) + 0.5) / w
+        v = (y.astype(jnp.float32) + 0.5) / h
+        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
+        t0, t1, hitm = smm.intersect(o, d)
+        t0c = jnp.maximum(t0, 0.0)
+        hit_any = jnp.any(hitm, axis=-1)
+        t_end = jnp.max(jnp.where(hitm, t1, 0.0), axis=-1)
+        keys = jax.vmap(lambda a, b: path_key(base_key, a, b, 0))(x, y)
+
+        def body(k, carry):
+            big_t, rad = carry
+            t = k * step
+            live = (t < t_end) & hit_any
+            pos = o + t * d
+            active = hitm & (t0c <= t) & (t < t1)
+            sigma_a, sigma_s = smm.sigma_at(active)
+            sigma_t = sigma_a + sigma_s
+
+            li = jnp.zeros_like(pos)
+            for l in range(sc.lights_p.shape[0]):
+                lp = sc.lights_p[l]
+                wi = lp - pos
+                dist = jnp.linalg.norm(wi, axis=-1)
+                wi = wi / dist[..., None]
+                tr = smm.transmittance_up_to(pos, wi, dist)
+                li = li + tr[:, None] * sc.lights_i[l] / (dist * dist)[:, None]
+
+            step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, k))(keys)
+
+            def env_one(e, acc):
+                ekeys = jax.vmap(lambda kk: jax.random.fold_in(kk, e))(step_keys)
+                xi = jax.vmap(lambda kk: jax.random.uniform(kk, (2,)))(ekeys)
+                wdir = _dir_from_xi(xi)
+                tr = smm.transmittance_up_to(pos, wdir, jnp.float32(1e8))
+                return acc + tr[:, None] * sc.env_color
+
+            le = jax.lax.fori_loop(0, cfg.env_samples, env_one,
+                                   jnp.zeros_like(pos))
+            le = le / cfg.env_samples * FOUR_PI
+
+            contrib = (big_t * sigma_s)[:, None] * (li + le) * (step * INV_4PI)
+            rad = rad + jnp.where(live[:, None], contrib, 0.0)
+            big_t = jnp.where(live, big_t * jnp.exp(-sigma_t * step), big_t)
+            return big_t, rad
+
+        big_t, rad = jax.lax.fori_loop(
+            0, n_steps, body,
+            (jnp.ones(ids.shape[0]), jnp.zeros((ids.shape[0], 3))))
+        rad = rad + big_t[:, None] * sc.env_color
+        return jnp.where(hit_any[:, None], rad, sc.env_color[None, :])
+
+    img = render_chunked(scene, radiance, w * h,
+                         pick_chunk(cfg, scene.medium.n * 4))
+    return img.reshape(h, w, 3)

@@ -1,0 +1,88 @@
+"""Per-(ray, Gaussian) quadratic coefficients as MXU matmuls.
+
+The reference computes, per ray per Gaussian, the quadratic
+``A t^2 + B t + C`` of the Mahalanobis distance along the ray with Eigen
+mat-vecs (``gaussian.h:126-164, 208-231``):
+
+    A = d^T S^-1 d
+    B = 2 (o - m)^T S^-1 d
+    C = (o - m)^T S^-1 (o - m)
+
+TPU-native formulation: every bilinear form u^T S^-1 v against a *symmetric*
+S^-1 is a dot product between a 6-feature vector of u,v products and the
+packed 6 unique entries of S^-1.  So for a batch of R rays against N
+Gaussians, (A, B, C) are three [R,6]x[6,N] / [R,3]x[3,N] matmuls — pure MXU
+work, no per-ray loops, no gathers:
+
+    A       = sym6(d,d) . icpack
+    B       = 2 * (sym6(o,d) . icpack - d . q)        q  = S^-1 m
+    C       = sym6(o,o) . icpack - 2 * o . q + c0     c0 = m^T S^-1 m
+
+Intersection with the R_CUT-sigma ellipsoid solves
+``A t^2 + B t + (C - R_CUT^2) = 0`` exactly as ``intersect_direct``
+(gaussian.h:126-164); the whitening variant (gaussian.h:167-205) yields the
+same interval and is intentionally not replicated.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gvr_tpu.scene.gaussians import GaussianMixture, R_CUT
+
+
+def sym6(u, v):
+    """Symmetric bilinear features [...,6] such that
+    u^T S v = sym6(u,v) . (S00,S11,S22,S01,S02,S12) for symmetric S."""
+    return jnp.stack([
+        u[..., 0] * v[..., 0],
+        u[..., 1] * v[..., 1],
+        u[..., 2] * v[..., 2],
+        u[..., 0] * v[..., 1] + u[..., 1] * v[..., 0],
+        u[..., 0] * v[..., 2] + u[..., 2] * v[..., 0],
+        u[..., 1] * v[..., 2] + u[..., 2] * v[..., 1],
+    ], axis=-1)
+
+
+def ray_quadratics(gmm: GaussianMixture, origin, direction):
+    """(A, B, C) for rays [...,3] against all N Gaussians -> each [...,N].
+
+    C here is the *full* Mahalanobis constant (no -R_CUT^2), as used by the
+    optical-depth closed form (gaussian.h:208-231)."""
+    ic = gmm.icpack()                       # [N,6]
+    q = gmm.qvec()                          # [N,3]
+    c0 = gmm.c0()                           # [N]
+
+    dd = sym6(direction, direction)         # [...,6]
+    od = sym6(origin, direction)
+    oo = sym6(origin, origin)
+
+    a = jnp.einsum("...f,nf->...n", dd, ic)
+    o_q = jnp.einsum("...i,ni->...n", origin, q)
+    d_q = jnp.einsum("...i,ni->...n", direction, q)
+    b = 2.0 * (jnp.einsum("...f,nf->...n", od, ic) - d_q)
+    c = jnp.einsum("...f,nf->...n", oo, ic) - 2.0 * o_q + c0
+    return a, b, c
+
+
+def intersect_from_quadratics(a, b, c):
+    """Solve the R_CUT-sigma ellipsoid quadratic given (A, B, C-full).
+
+    Returns (t0, t1, hit) with t0 <= t1 and hit iff the ray crosses the
+    ellipsoid with t1 >= 0 (gaussian.h:141-163).  t0 is NOT clamped to 0;
+    clip at the point of use (the reference clamps on return)."""
+    cc = c - R_CUT * R_CUT
+    disc = b * b - 4.0 * a * cc
+    hit = (disc >= 0.0) & (a > 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 0.5 / jnp.maximum(a, 1e-30)
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+    hit = hit & (t1 >= 0.0)
+    return t0, t1, hit
+
+
+def intersect_gaussians(gmm: GaussianMixture, origin, direction):
+    """Intervals of every Gaussian along rays: (t0, t1, hit) each [...,N]."""
+    a, b, c = ray_quadratics(gmm, origin, direction)
+    return intersect_from_quadratics(a, b, c)

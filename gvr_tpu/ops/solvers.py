@@ -1,0 +1,167 @@
+"""Free-flight distance solvers: invert tau_total(t) = target.
+
+Reference: ``distance_solvers.h`` + the segment walk in
+``integrator.h:422-498`` + the analytic single-Gaussian inverse
+``gaussian.h:235-297``.
+
+TPU-native redesign: the reference walks sorted events accumulating segment
+optical depths, then inverts inside the critical segment.  Because
+``tau_total(t)`` (clipped-interval sum, see ``transmittance.py``) is the same
+monotone function the event walk integrates, we can invert it *globally* with
+a fixed-iteration safeguarded Newton (bisection bracket + Newton step, all
+branchless selects) — identical root, no sort, no variable-length loops.
+Fixed trip counts compile to straight-line TPU code.
+
+Solvers:
+  * newton     — safeguarded Newton, quadratic convergence, fp32-exact in
+                 ~12-24 iterations.
+  * bisection  — plain fixed-iteration bisection (distance_solvers.h:25-57).
+  * analytic_newton — rays whose *entire* candidate set is one Gaussian use
+                 the closed-form erfinv inverse (gaussian.h:235-297); the
+                 rest use safeguarded Newton.  (The reference applies the
+                 analytic path per-segment; for a single-Gaussian ray the two
+                 coincide, which covers the scenes where the analytic path
+                 dominates.)
+  * uniform    — uniform sample inside the critical segment
+                 (distance_solvers.h:132-137); needs the sorted event
+                 boundaries, kept for the solver-ablation parity tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gvr_tpu.config import Solver
+from gvr_tpu.ops.transmittance import (
+    RayGaussians, tau_up_to, sigma_t_at, far_bound, any_hit, _ferf)
+
+NO_SCATTER = -1.0
+
+
+def _bracket(rg: RayGaussians):
+    """Initial bracket [t_lo, t_hi] containing the root, plus total tau."""
+    inf = jnp.float32(jnp.inf)
+    t_lo = jnp.min(jnp.where(rg.hit, rg.t0, inf), axis=-1)
+    t_hi = far_bound(rg)
+    t_lo = jnp.minimum(t_lo, t_hi)
+    tau_max = tau_up_to(rg, t_hi)
+    return t_lo, t_hi, tau_max
+
+
+def _safeguarded_newton(rg, target, t_lo, t_hi, iters, use_newton=True):
+    """Branchless bracketed root find of tau_total(t) - target on
+    [t_lo, t_hi].  Assumes f(t_lo) <= 0 <= f(t_hi)."""
+    lo, hi = t_lo, t_hi
+    t = 0.5 * (lo + hi)
+
+    def body(_, state):
+        lo, hi, t = state
+        f = tau_up_to(rg, t) - target
+        lo = jnp.where(f < 0.0, t, lo)
+        hi = jnp.where(f < 0.0, hi, t)
+        if use_newton:
+            deriv = sigma_t_at(rg, None, t)
+            t_n = t - f / jnp.maximum(deriv, 1e-30)
+            ok = (t_n > lo) & (t_n < hi) & jnp.isfinite(t_n)
+            t = jnp.where(ok, t_n, 0.5 * (lo + hi))
+        else:
+            t = 0.5 * (lo + hi)
+        return lo, hi, t
+
+    lo, hi, t = jax.lax.fori_loop(0, iters, body, (lo, hi, t))
+    return jnp.clip(t, t_lo, t_hi)
+
+
+def _analytic_single(rg: RayGaussians, target):
+    """Closed-form inverse for rays with exactly one hit Gaussian
+    (gaussian.h:235-297).  Returns (t, valid)."""
+    # with exactly one hit, masked sums select that Gaussian's coefficients
+    def pick(x):
+        return jnp.sum(jnp.where(rg.hit, x, 0.0), axis=-1)
+
+    a = pick(rg.a)
+    b = pick(rg.b)
+    pref = pick(rg.pref)
+    fs = pick(rg.fscale)
+    t0 = pick(rg.t0)
+    t1 = pick(rg.t1)
+
+    erf_t0 = jax.lax.erf((b + 2.0 * a * t0) * fs)
+    target_erf = target / jnp.maximum(pref, 1e-30) + erf_t0
+    # guards mirroring gaussian.h:273-281
+    one_eps = 1.0 - 1e-6
+    inside = (target_erf > -one_eps) & (target_erf < one_eps)
+    arg = jax.lax.erf_inv(jnp.clip(target_erf, -one_eps, one_eps))
+    t = (arg / jnp.maximum(fs, 1e-30) - b) / (2.0 * jnp.maximum(a, 1e-30))
+    t = jnp.where(target_erf >= one_eps, t1, t)
+    t = jnp.where(target_erf <= -one_eps, t0, t)
+    del inside  # guards already applied via the clamped erf argument
+    valid = jnp.isfinite(t) & (pref > 0.0)
+    return jnp.clip(t, t0, t1), valid
+
+
+def _event_boundaries(rg: RayGaussians):
+    """Sorted event times [..., 2N] (+inf padded), the reference's sorted
+    ``PrimitiveHitEvent`` list (gmm.h:457-515) as a tensor."""
+    inf = jnp.float32(jnp.inf)
+    ts = jnp.concatenate([jnp.where(rg.hit, rg.t0, inf),
+                          jnp.where(rg.hit, rg.t1, inf)], axis=-1)
+    return jnp.sort(ts, axis=-1)
+
+
+def _uniform_in_segment(rg: RayGaussians, target, u):
+    """Uniform sample inside the critical segment: locate the bracketing
+    event boundaries and sample uniformly between them."""
+    ts = _event_boundaries(rg)                       # [..., 2N]
+    finite = jnp.isfinite(ts)
+    ts_safe = jnp.where(finite, ts, 0.0)
+    # tau at every boundary: [..., 2N, N] intermediate
+    b_ = jnp.minimum(rg.t1[..., None, :], ts_safe[..., :, None])
+    fs = rg.fscale[..., None, :]
+    a = rg.a[..., None, :]
+    b2 = rg.b[..., None, :]
+    erf_hi = jax.lax.erf((b2 + 2.0 * a * b_) * fs)
+    erf_lo = jax.lax.erf((b2 + 2.0 * a * rg.t0[..., None, :]) * fs)
+    contrib = rg.pref[..., None, :] * (erf_hi - erf_lo)
+    valid = rg.hit[..., None, :] & (b_ > rg.t0[..., None, :])
+    tau_b = jnp.sum(jnp.where(valid, contrib, 0.0), axis=-1)   # [..., 2N]
+    tau_b = jnp.where(finite, tau_b, jnp.inf)
+
+    idx = jnp.sum((tau_b < target[..., None]).astype(jnp.int32), axis=-1)
+    idx = jnp.clip(idx, 1, ts.shape[-1] - 1)
+    hi_t = jnp.take_along_axis(ts_safe, idx[..., None], axis=-1)[..., 0]
+    lo_t = jnp.take_along_axis(ts_safe, (idx - 1)[..., None], axis=-1)[..., 0]
+    return lo_t + u * (hi_t - lo_t)
+
+
+def sample_free_flight(rg: RayGaussians, target_tau, solver: Solver,
+                       iters: int = 24, u_uniform=None):
+    """Sample the free-flight distance t with tau_total(t) = target_tau.
+
+    Returns (t_scatter, scattered): t_scatter = NO_SCATTER where the ray
+    escapes the medium (total optical depth < target), matching
+    ``get_free_flight_distance`` returning -1 (integrator.h:497).
+    """
+    t_lo, t_hi, tau_max = _bracket(rg)
+    scattered = any_hit(rg) & (tau_max > target_tau)
+    # clamp target so the bracketed solve stays well-posed on escaped rays
+    tgt = jnp.minimum(target_tau, tau_max * 0.999999)
+
+    if solver == Solver.BISECTION:
+        t = _safeguarded_newton(rg, tgt, t_lo, t_hi, iters, use_newton=False)
+    elif solver == Solver.NEWTON:
+        t = _safeguarded_newton(rg, tgt, t_lo, t_hi, iters, use_newton=True)
+    elif solver == Solver.ANALYTIC_NEWTON:
+        t_newton = _safeguarded_newton(rg, tgt, t_lo, t_hi, iters,
+                                       use_newton=True)
+        n_hits = jnp.sum(rg.hit.astype(jnp.int32), axis=-1)
+        t_ana, ok = _analytic_single(rg, tgt)
+        t = jnp.where((n_hits == 1) & ok, t_ana, t_newton)
+    elif solver == Solver.UNIFORM:
+        assert u_uniform is not None, "UNIFORM solver needs a random number"
+        t = _uniform_in_segment(rg, tgt, u_uniform)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown solver {solver}")
+
+    return jnp.where(scattered, t, NO_SCATTER), scattered

@@ -1,0 +1,13 @@
+from gvr_tpu.scene.gaussians import GaussianMixture
+from gvr_tpu.scene.spheres import SphereMixture
+from gvr_tpu.scene.scene import Scene, Light, load_scene, load_gmm, load_smm
+
+__all__ = [
+    "GaussianMixture",
+    "SphereMixture",
+    "Scene",
+    "Light",
+    "load_scene",
+    "load_gmm",
+    "load_smm",
+]

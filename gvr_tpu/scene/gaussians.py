@@ -1,0 +1,331 @@
+"""Gaussian mixture medium as structure-of-arrays JAX pytree.
+
+Reference: the ``Gaussian`` primitive (``include/gaussian.h:28-320``) and
+``GaussianMixtureModel`` (``include/gmm.h:35-629``).  The reference stores an
+``std::vector<Gaussian>`` of Eigen objects with per-object precomputation
+(inverse covariance, normalization, eigendecomposition, whitening transform);
+here everything is a batched tensor, precomputed once with
+``jnp.linalg.eigh`` and laid out for MXU-friendly per-(ray, gaussian)
+quadratic evaluation (see ``gvr_tpu/ops/quadratics.py``).
+
+Anisotropic 3D Gaussian density:  g(x) = norm * exp(-0.5 (x-mu)^T S^-1 (x-mu))
+with norm = (2*pi)^{-3/2} det(S)^{-1/2}; extinction mu_t(x) = density * g(x).
+Support is truncated at R_CUT = 3 standard deviations (``gaussian.h:36``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Support truncation radius in units of standard deviation (gaussian.h:36).
+R_CUT = 3.0
+
+# Number of optimizable parameters per Gaussian in the codec (gmm.h:583-628):
+# mean(3) + Rodrigues axis-angle(3) + log-scale-diag(3) + log-density(1)
+# + logit-albedo(1).
+PARAMS_PER_GAUSSIAN = 11
+
+
+@jax.tree_util.register_pytree_node_class
+class GaussianMixture:
+    """SoA Gaussian mixture.  All arrays share leading dim N.
+
+    Stored fields (the pytree leaves):
+      mean      [N,3]   centers
+      cov       [N,3,3] covariance (symmetric)
+      density   [N]     extinction scale
+      albedo    [N]     single-scattering albedo
+      emission  [N,3]   parsed + stored but never shaded, matching the
+                        reference (no integrator reads emission; see
+                        SURVEY dead-items: gaussian.h:34, scene.h:97-105)
+      inv_cov   [N,3,3] precomputed inverse covariance
+      norm      [N]     (2 pi)^{-3/2} det^{-1/2}
+      eigvals   [N,3]   ascending eigenvalues of cov
+      eigvecs   [N,3,3] columns are eigenvectors (rotation R with det +1)
+
+    Derived, cached on first use (not pytree leaves):
+      icpack    [N,6]   (ic00, ic11, ic22, ic01, ic02, ic12)
+      q         [N,3]   inv_cov @ mean
+      c0        [N]     mean^T inv_cov mean
+      aabb_min/max [N,3] world AABBs at R_CUT sigma (gaussian.h:302-319)
+    """
+
+    def __init__(self, mean, cov, density, albedo, emission,
+                 inv_cov, norm, eigvals, eigvecs):
+        self.mean = mean
+        self.cov = cov
+        self.density = density
+        self.albedo = albedo
+        self.emission = emission
+        self.inv_cov = inv_cov
+        self.norm = norm
+        self.eigvals = eigvals
+        self.eigvecs = eigvecs
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        leaves = (self.mean, self.cov, self.density, self.albedo,
+                  self.emission, self.inv_cov, self.norm, self.eigvals,
+                  self.eigvecs)
+        return leaves, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    # -- constructors ---------------------------------------------------------
+    @staticmethod
+    def from_covariances(mean, cov, density, albedo, emission=None):
+        """Build from means [N,3] + full covariances [N,3,3].
+
+        Mirrors ``Gaussian::precompute_from_covariance`` (gaussian.h:52-72)
+        but batched: one ``eigh`` over the whole set.
+        """
+        mean = jnp.asarray(mean, jnp.float32).reshape(-1, 3)
+        cov = jnp.asarray(cov, jnp.float32).reshape(-1, 3, 3)
+        n = mean.shape[0]
+        density = jnp.asarray(density, jnp.float32).reshape(n)
+        albedo = jnp.asarray(albedo, jnp.float32).reshape(n)
+        if emission is None:
+            emission = jnp.zeros((n, 3), jnp.float32)
+        emission = jnp.asarray(emission, jnp.float32).reshape(n, 3)
+
+        eigvals, eigvecs = jnp.linalg.eigh(cov)
+        # Make eigvecs a proper rotation (det +1) so the rotation->axis-angle
+        # codec is well defined; covariance R S^2 R^T is invariant to the flip.
+        det = jnp.linalg.det(eigvecs)
+        flip = jnp.where(det < 0.0, -1.0, 1.0)[:, None]
+        eigvecs = eigvecs.at[:, :, 0].multiply(flip)
+
+        ev = jnp.maximum(eigvals, 1e-12)
+        # inv_cov = R diag(1/ev) R^T  (more robust than jnp.linalg.inv and
+        # exactly consistent with the eigendecomposition)
+        inv_cov = jnp.einsum("nij,nj,nkj->nik", eigvecs, 1.0 / ev, eigvecs)
+        det_cov = jnp.prod(ev, axis=-1)
+        norm = (2.0 * jnp.pi) ** (-1.5) * det_cov ** (-0.5)
+        return GaussianMixture(mean, cov, density, albedo, emission,
+                               inv_cov, norm, eigvals, eigvecs)
+
+    @staticmethod
+    def from_rotation_scale(mean, rotation, scale_diag, density, albedo,
+                            emission=None):
+        """Build from rotation matrices [N,3,3] + scale diagonals [N,3].
+
+        Mirrors the R*S*S^T*R^T constructor (gaussian.h:95-109), but computes
+        inverse/determinant/eigendecomposition analytically — no ``eigh`` —
+        keeping this path cheap and differentiable for the inverse optimizer.
+        """
+        mean = jnp.asarray(mean, jnp.float32).reshape(-1, 3)
+        rotation = jnp.asarray(rotation, jnp.float32).reshape(-1, 3, 3)
+        scale_diag = jnp.asarray(scale_diag, jnp.float32).reshape(-1, 3)
+        n = mean.shape[0]
+        density = jnp.asarray(density, jnp.float32).reshape(n)
+        albedo = jnp.asarray(albedo, jnp.float32).reshape(n)
+        if emission is None:
+            emission = jnp.zeros((n, 3), jnp.float32)
+        emission = jnp.asarray(emission, jnp.float32).reshape(n, 3)
+
+        s2 = jnp.maximum(scale_diag * scale_diag, 1e-24)
+        cov = jnp.einsum("nij,nj,nkj->nik", rotation, s2, rotation)
+        inv_cov = jnp.einsum("nij,nj,nkj->nik", rotation, 1.0 / s2, rotation)
+        det_cov = jnp.prod(s2, axis=-1)
+        norm = (2.0 * jnp.pi) ** (-1.5) * det_cov ** (-0.5)
+        return GaussianMixture(mean, cov, density, albedo, emission,
+                               inv_cov, norm, s2, rotation)
+
+    # -- basic info -----------------------------------------------------------
+    @property
+    def n(self) -> int:
+        return self.mean.shape[0]
+
+    # -- packed features for MXU quadratics (ops/quadratics.py) ---------------
+    def icpack(self):
+        """[N,6] packed symmetric inverse covariance:
+        (ic00, ic11, ic22, ic01, ic02, ic12)."""
+        ic = self.inv_cov
+        return jnp.stack(
+            [ic[:, 0, 0], ic[:, 1, 1], ic[:, 2, 2],
+             ic[:, 0, 1], ic[:, 0, 2], ic[:, 1, 2]], axis=-1)
+
+    def qvec(self):
+        """[N,3] inv_cov @ mean."""
+        return jnp.einsum("nij,nj->ni", self.inv_cov, self.mean)
+
+    def c0(self):
+        """[N] mean^T inv_cov mean."""
+        return jnp.einsum("ni,ni->n", self.qvec(), self.mean)
+
+    # -- pointwise evaluation --------------------------------------------------
+    def evaluate(self, x):
+        """Densities of every Gaussian at points x [...,3] -> [...,N].
+
+        Reference ``Gaussian::evaluate`` (gaussian.h:111-115)."""
+        d = x[..., None, :] - self.mean          # [...,N,3]
+        expo = -0.5 * jnp.einsum("...ni,nij,...nj->...n", d, self.inv_cov, d)
+        return self.norm * jnp.exp(expo)
+
+    def mu_t(self, x):
+        """Extinction of every Gaussian at x: density * evaluate
+        (gaussian.h:117)."""
+        return self.density * self.evaluate(x)
+
+    def sigma_albedo(self, x, active_mask):
+        """Mixture (sigma_a, sigma_s) at x for a boolean active mask [...,N].
+
+        Reference ``GaussianMixtureModel::evaluate_sigma`` (gmm.h:98-126):
+        density-weighted albedo blend a = sum(mu_t*a)/sum(mu_t),
+        sigma_s = a*sum(mu_t), sigma_a = (1-a)*sum(mu_t).
+        """
+        mt = self.mu_t(x) * active_mask
+        s = jnp.sum(mt, axis=-1)
+        sa = jnp.sum(mt * self.albedo, axis=-1)
+        amix = jnp.where(s > 0.0, sa / jnp.maximum(s, 1e-30), 0.0)
+        sigma_s = amix * s
+        sigma_a = (1.0 - amix) * s
+        return sigma_a, sigma_s
+
+    def albedo_at(self, x, active_mask):
+        """Mixture single-scattering albedo at x (gmm.h:128-143),
+        clamped to [0,1]."""
+        mt = self.mu_t(x) * active_mask
+        s = jnp.sum(mt, axis=-1)
+        sa = jnp.sum(mt * self.albedo, axis=-1)
+        return jnp.clip(sa / jnp.maximum(s, 1e-30), 0.0, 1.0)
+
+    # -- AABBs (gaussian.h:302-319) --------------------------------------------
+    def aabbs(self):
+        """World AABBs at R_CUT sigma.  Returns (bmin [N,3], bmax [N,3])."""
+        extents = R_CUT * jnp.sqrt(jnp.maximum(self.eigvals, 0.0))  # [N,3]
+        h = jnp.einsum("nij,nj->ni", jnp.abs(self.eigvecs), extents)
+        return self.mean - h, self.mean + h
+
+    # -- parameter codec (gmm.h:583-706) ----------------------------------------
+    def pack_parameters(self):
+        """Flat [N*11] parameter vector, the reference's reparameterization
+        (gmm.h:583-628): unconstrained Adam keeps scale/density positive via
+        log and albedo in [0,1] via logit."""
+        rod = rotation_to_rodrigues(self.eigvecs)                      # [N,3]
+        sdiag = jnp.sqrt(jnp.maximum(self.eigvals, 1e-24))
+        log_s = jnp.log(jnp.maximum(sdiag, 1e-12))
+        log_d = jnp.log(jnp.maximum(self.density, 1e-12))[:, None]
+        alb = jnp.clip(self.albedo, 0.0, 1.0)
+        logit_a = inv_sigmoid(alb)[:, None]
+        packed = jnp.concatenate([self.mean, rod, log_s, log_d, logit_a],
+                                 axis=-1)                              # [N,11]
+        return packed.reshape(-1)
+
+    @staticmethod
+    def from_parameters(params, emission=None):
+        """Inverse of ``pack_parameters`` (gmm.h:634-674), fully
+        differentiable (no eigh — covariance rebuilt from R, S)."""
+        p = params.reshape(-1, PARAMS_PER_GAUSSIAN)
+        mean = p[:, 0:3]
+        rot = rodrigues_to_rotation(p[:, 3:6])
+        sdiag = jnp.exp(p[:, 6:9])
+        density = jnp.exp(p[:, 9])
+        albedo = jax.nn.sigmoid(p[:, 10])
+        return GaussianMixture.from_rotation_scale(
+            mean, rot, sdiag, density, albedo, emission)
+
+
+# -----------------------------------------------------------------------------
+# Rotation <-> Rodrigues axis-angle helpers (gmm.h:597-607, 644-651)
+# -----------------------------------------------------------------------------
+
+def rotation_to_rodrigues(r):
+    """Batched rotation matrix [N,3,3] -> axis*angle vector [N,3].
+
+    Safe at angle -> 0 (returns 0) and numerically guarded near pi.
+    Non-finite results map to zero, matching the reference guard
+    (gmm.h:602-604)."""
+    tr = r[:, 0, 0] + r[:, 1, 1] + r[:, 2, 2]
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    angle = jnp.arccos(cos_t)
+    # skew part gives axis*2sin(theta)
+    w = jnp.stack([r[:, 2, 1] - r[:, 1, 2],
+                   r[:, 0, 2] - r[:, 2, 0],
+                   r[:, 1, 0] - r[:, 0, 1]], axis=-1)
+    sin_t = jnp.linalg.norm(w, axis=-1) * 0.5
+    small = angle < 1e-6
+    near_pi = angle > jnp.pi - 1e-3
+
+    # generic: axis = w / (2 sin)
+    axis_gen = w / jnp.maximum(2.0 * sin_t, 1e-12)[:, None]
+
+    # near pi: axis^2 proportional to diag((R + I)/2)
+    b = (jnp.stack([r[:, 0, 0], r[:, 1, 1], r[:, 2, 2]], axis=-1) + 1.0) * 0.5
+    axis_pi = jnp.sqrt(jnp.clip(b, 0.0, 1.0))
+    # fix signs from off-diagonals: pick the largest component positive and
+    # sign the others by R_ij + R_ji
+    largest = jnp.argmax(axis_pi, axis=-1)
+    off = jnp.stack([r[:, 0, 1] + r[:, 1, 0],
+                     r[:, 0, 2] + r[:, 2, 0],
+                     r[:, 1, 2] + r[:, 2, 1]], axis=-1)  # (xy, xz, yz)
+
+    def sign_fix(ax, lg, offv):
+        sx = jnp.where(lg == 0, 1.0,
+                       jnp.where(lg == 1, jnp.sign(offv[0]),
+                                 jnp.sign(offv[1])))
+        sy = jnp.where(lg == 1, 1.0,
+                       jnp.where(lg == 0, jnp.sign(offv[0]),
+                                 jnp.sign(offv[2])))
+        sz = jnp.where(lg == 2, 1.0,
+                       jnp.where(lg == 0, jnp.sign(offv[1]),
+                                 jnp.sign(offv[2])))
+        s = jnp.stack([sx, sy, sz], axis=-1)
+        return ax * jnp.where(s == 0.0, 1.0, s)
+
+    axis_pi = jax.vmap(sign_fix)(axis_pi, largest, off)
+    axis = jnp.where(near_pi[:, None], axis_pi, axis_gen)
+    rod = axis * angle[:, None]
+    rod = jnp.where(small[:, None], 0.0, rod)
+    return jnp.where(jnp.isfinite(rod), rod, 0.0)
+
+
+def rodrigues_to_rotation(rod):
+    """Batched axis*angle [N,3] -> rotation matrix [N,3,3] (gmm.h:644-651).
+
+    Uses the Rodrigues formula with a Taylor-safe small-angle branch so it is
+    differentiable at rod = 0."""
+    angle = jnp.linalg.norm(rod, axis=-1)
+    safe = jnp.maximum(angle, 1e-12)[:, None]
+    axis = rod / safe
+    x, y, z = axis[:, 0], axis[:, 1], axis[:, 2]
+    zero = jnp.zeros_like(x)
+    k = jnp.stack([
+        jnp.stack([zero, -z, y], axis=-1),
+        jnp.stack([z, zero, -x], axis=-1),
+        jnp.stack([-y, x, zero], axis=-1),
+    ], axis=-2)                                            # [N,3,3]
+    s = jnp.sin(angle)[:, None, None]
+    c = jnp.cos(angle)[:, None, None]
+    eye = jnp.eye(3, dtype=rod.dtype)[None]
+    r = eye + s * k + (1.0 - c) * (k @ k)
+    small = (angle < 1e-8)[:, None, None]
+    # first-order expansion near zero keeps gradients finite
+    r_small = eye + k * angle[:, None, None]
+    return jnp.where(small, r_small, r)
+
+
+def inv_sigmoid(y):
+    """Numerically-guarded logit (gmm.h:28-32)."""
+    eps = 1e-7
+    yy = jnp.clip(y, eps, 1.0 - eps)
+    return jnp.log(yy / (1.0 - yy))
+
+
+def default_param_eps(n_gaussians: int) -> np.ndarray:
+    """Per-parameter finite-difference epsilons (gmm.h:677-706), used by the
+    SFD validation mode."""
+    eps = np.empty(n_gaussians * PARAMS_PER_GAUSSIAN, np.float32)
+    per = np.array([0.02, 0.02, 0.02,          # mean
+                    0.10, 0.10, 0.10,          # rotation
+                    0.05, 0.05, 0.05,          # log-scale
+                    0.25,                      # log-density
+                    0.5], np.float32)          # logit-albedo
+    eps.reshape(-1, PARAMS_PER_GAUSSIAN)[:] = per
+    return eps

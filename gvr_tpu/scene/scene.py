@@ -1,0 +1,172 @@
+"""Scene container and text-format loaders.
+
+Reference: ``include/scene.h``.  The text format (scene.h:38-120):
+
+    Light:    l x y z  r g b
+    Gaussian: g x y z  cxx cxy cxz cyy cyz czz  density albedo [er eg eb]
+    Sphere:   s x y z  radius sigma_a sigma_s
+
+Unknown leading tokens are skipped line-wise (the reference skips unknown
+tokens in a token stream; for well-formed files the semantics agree and
+comment lines survive either way).  Default environment radiance is the
+reference's sky blue (scene.h:29).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvr_tpu.scene.gaussians import GaussianMixture
+from gvr_tpu.scene.spheres import SphereMixture
+
+DEFAULT_ENV_COLOR = (0.53, 0.81, 0.92)
+
+
+@dataclasses.dataclass
+class Light:
+    """Point light (scene.h:12-15)."""
+    position: np.ndarray
+    intensity: np.ndarray
+
+
+@jax.tree_util.register_pytree_node_class
+class Scene:
+    """Volume + lights + environment.
+
+    ``medium`` is a GaussianMixture or SphereMixture; which one is static
+    (part of the pytree structure), mirroring the reference's
+    ``VolumeType`` dispatch (scene.h:18-22, 128-204) resolved at trace time.
+
+    lights_p [L,3], lights_i [L,3]; env_color [3].
+    """
+
+    def __init__(self, medium, lights_p, lights_i, env_color):
+        self.medium = medium
+        self.lights_p = lights_p
+        self.lights_i = lights_i
+        self.env_color = env_color
+
+    def tree_flatten(self):
+        return (self.medium, self.lights_p, self.lights_i, self.env_color), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @property
+    def num_lights(self) -> int:
+        return self.lights_p.shape[0]
+
+    @property
+    def is_gaussian(self) -> bool:
+        return isinstance(self.medium, GaussianMixture)
+
+    def with_medium(self, medium) -> "Scene":
+        return Scene(medium, self.lights_p, self.lights_i, self.env_color)
+
+    @staticmethod
+    def create(medium, lights=(), env_color=DEFAULT_ENV_COLOR) -> "Scene":
+        if lights:
+            lp = jnp.asarray([l.position for l in lights], jnp.float32)
+            li = jnp.asarray([l.intensity for l in lights], jnp.float32)
+        else:
+            lp = jnp.zeros((0, 3), jnp.float32)
+            li = jnp.zeros((0, 3), jnp.float32)
+        return Scene(medium, lp, li, jnp.asarray(env_color, jnp.float32))
+
+
+# -----------------------------------------------------------------------------
+# Text loaders
+# -----------------------------------------------------------------------------
+
+def _parse_lines(text: str):
+    """Yield (tag, floats) per well-formed line; skip everything else."""
+    for line in text.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        tag = parts[0]
+        if tag not in ("l", "g", "s"):
+            continue
+        try:
+            vals = [float(v) for v in parts[1:]]
+        except ValueError:
+            continue
+        yield tag, vals
+
+
+def _read_text(path_or_text: Union[str, os.PathLike]) -> str:
+    p = str(path_or_text)
+    if os.path.exists(p):
+        with open(p, "r") as f:
+            return f.read()
+    raise FileNotFoundError(f"Failed to open scene file: {p}")
+
+
+def load_gmm(path: Union[str, os.PathLike],
+             env_color=DEFAULT_ENV_COLOR) -> Scene:
+    """Load a Gaussian scene (scene.h:72-120)."""
+    return parse_gmm(_read_text(path), env_color)
+
+
+def parse_gmm(text: str, env_color=DEFAULT_ENV_COLOR) -> Scene:
+    lights, means, covs, dens, albs, emis = [], [], [], [], [], []
+    for tag, v in _parse_lines(text):
+        if tag == "l" and len(v) >= 6:
+            lights.append(Light(np.array(v[0:3], np.float32),
+                                np.array(v[3:6], np.float32)))
+        elif tag == "g" and len(v) >= 11:
+            means.append(v[0:3])
+            cxx, cxy, cxz, cyy, cyz, czz = v[3:9]
+            covs.append([[cxx, cxy, cxz], [cxy, cyy, cyz], [cxz, cyz, czz]])
+            dens.append(v[9])
+            albs.append(v[10])
+            emis.append(v[11:14] if len(v) >= 14 else [0.0, 0.0, 0.0])
+    gmm = GaussianMixture.from_covariances(
+        np.asarray(means, np.float32), np.asarray(covs, np.float32),
+        np.asarray(dens, np.float32), np.asarray(albs, np.float32),
+        np.asarray(emis, np.float32))
+    return Scene.create(gmm, lights, env_color)
+
+
+def load_smm(path: Union[str, os.PathLike],
+             env_color=DEFAULT_ENV_COLOR) -> Scene:
+    """Load a sphere scene (scene.h:38-68)."""
+    return parse_smm(_read_text(path), env_color)
+
+
+def parse_smm(text: str, env_color=DEFAULT_ENV_COLOR) -> Scene:
+    lights, cen, rad, sa, ss = [], [], [], [], []
+    for tag, v in _parse_lines(text):
+        if tag == "l" and len(v) >= 6:
+            lights.append(Light(np.array(v[0:3], np.float32),
+                                np.array(v[3:6], np.float32)))
+        elif tag == "s" and len(v) >= 6:
+            cen.append(v[0:3])
+            rad.append(v[3])
+            sa.append(v[4])
+            ss.append(v[5])
+    smm = SphereMixture.create(np.asarray(cen, np.float32),
+                               np.asarray(rad, np.float32),
+                               np.asarray(sa, np.float32),
+                               np.asarray(ss, np.float32))
+    return Scene.create(smm, lights, env_color)
+
+
+def load_scene(path: Union[str, os.PathLike],
+               env_color=DEFAULT_ENV_COLOR) -> Scene:
+    """Auto-detect format: a scene with 'g' lines is a GMM, 's' lines SMM."""
+    text = _read_text(path)
+    tags = {tag for tag, _ in _parse_lines(text)}
+    if "g" in tags:
+        return parse_gmm(text, env_color)
+    if "s" in tags:
+        return parse_smm(text, env_color)
+    raise ValueError(f"No primitives found in scene file: {path}")
