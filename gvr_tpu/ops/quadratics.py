@@ -26,9 +26,21 @@ same interval and is intentionally not replicated.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gvr_tpu.scene.gaussians import GaussianMixture, R_CUT
+
+# The quadratic coefficients span ~1e6 dynamic range (squared Mahalanobis
+# distances of far origins against tiny Gaussians); TPU's default bf16
+# matmul passes destroy them (spurious hits, +inf peaks).  Full fp32 MXU
+# passes are mandatory here.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(feats, table):
+    """[..., F] x [N, F] -> [..., N] at full fp32 precision."""
+    return jnp.einsum("...f,nf->...n", feats, table, precision=_PREC)
 
 
 def sym6(u, v):
@@ -57,11 +69,11 @@ def ray_quadratics(gmm: GaussianMixture, origin, direction):
     od = sym6(origin, direction)
     oo = sym6(origin, origin)
 
-    a = jnp.einsum("...f,nf->...n", dd, ic)
-    o_q = jnp.einsum("...i,ni->...n", origin, q)
-    d_q = jnp.einsum("...i,ni->...n", direction, q)
-    b = 2.0 * (jnp.einsum("...f,nf->...n", od, ic) - d_q)
-    c = jnp.einsum("...f,nf->...n", oo, ic) - 2.0 * o_q + c0
+    a = _mm(dd, ic)
+    o_q = _mm(origin, q)
+    d_q = _mm(direction, q)
+    b = 2.0 * (_mm(od, ic) - d_q)
+    c = _mm(oo, ic) - 2.0 * o_q + c0
     return a, b, c
 
 

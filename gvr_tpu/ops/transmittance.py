@@ -53,7 +53,10 @@ def tau_coeffs(gmm: GaussianMixture, origin, direction) -> RayGaussians:
     a, b, c = ray_quadratics(gmm, origin, direction)
     t0, t1, hit = intersect_from_quadratics(a, b, c)
     a_safe = jnp.maximum(a, 1e-30)
-    expo = -0.5 * (c - b * b / (4.0 * a_safe))
+    # c - b^2/4a is the squared Mahalanobis distance at closest approach,
+    # >= 0 in exact arithmetic; the clamp guards fp32 cancellation from
+    # blowing exp() up to inf for far-away Gaussians.
+    expo = jnp.minimum(-0.5 * (c - b * b / (4.0 * a_safe)), 0.0)
     peak = gmm.density * gmm.norm * jnp.exp(expo)
     pref = peak * jnp.sqrt(jnp.pi / (2.0 * a_safe))
     fscale = 1.0 / (2.0 * jnp.sqrt(2.0 * a_safe))

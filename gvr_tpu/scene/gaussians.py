@@ -165,7 +165,8 @@ class GaussianMixture:
 
         Reference ``Gaussian::evaluate`` (gaussian.h:111-115)."""
         d = x[..., None, :] - self.mean          # [...,N,3]
-        expo = -0.5 * jnp.einsum("...ni,nij,...nj->...n", d, self.inv_cov, d)
+        expo = -0.5 * jnp.einsum("...ni,nij,...nj->...n", d, self.inv_cov, d,
+                                 precision=jax.lax.Precision.HIGHEST)
         return self.norm * jnp.exp(expo)
 
     def mu_t(self, x):
