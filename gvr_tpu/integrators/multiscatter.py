@@ -29,8 +29,10 @@ import numpy as np
 
 from gvr_tpu.config import RenderConfig, Solver
 from gvr_tpu.scene.scene import Scene
-from gvr_tpu.ops.transmittance import tau_coeffs, tau_up_to, transmittance_up_to
-from gvr_tpu.ops.solvers import sample_free_flight
+from gvr_tpu.ops.transmittance import (
+    tau_coeffs, tau_up_to, transmittance_up_to, far_bound)
+from gvr_tpu.ops.solvers import (
+    sample_free_flight, solve_conditional_free_flight)
 from gvr_tpu.ops.sampling import path_key
 from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
 from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
@@ -132,6 +134,73 @@ def multiscatter_radiance(scene: Scene, origin, direction, keys,
              jnp.ones((b, 3)), jnp.zeros((b, 3)),
              jnp.ones((b,), bool), jnp.int32(0))
     *_, rad, alive, _ = jax.lax.while_loop(cond, body, state)
+    return rad
+
+
+def multiscatter_radiance_diff(scene: Scene, origin, direction, keys,
+                               cfg: RenderConfig, n_bounces: int = 4):
+    """Differentiable multi-scatter estimator for inverse rendering.
+
+    Differences from the forward flagship (both documented, both unbiased):
+
+    * fixed-trip ``lax.scan`` over ``n_bounces`` (reverse-mode AD cannot
+      differentiate ``while_loop``), no Russian roulette;
+    * *analytic escape*: instead of sampling the escape event, every bounce
+      adds ``thr * exp(-tau_total) * env`` in closed form and conditions the
+      free-flight sample on scattering (target = -log(1 - u*(1-T_esc))).
+      Lower variance and smooth in the Gaussian parameters.
+    * the sampled scatter distance is differentiable via the implicit
+      function theorem (``solve_conditional_free_flight``), the
+      reparameterized replacement for the reference's stochastic finite
+      differences (inverse_integrator.h).
+    """
+    gmm = scene.medium
+    b = origin.shape[0]
+
+    def uniforms(bounce, n=8):
+        ks = jax.vmap(lambda k: jax.random.fold_in(k, bounce))(keys)
+        return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(ks)
+
+    def body(state, bounce):
+        o, d, thr, rad, alive = state
+        rg = tau_coeffs(gmm, o, d)
+        xi = uniforms(bounce)
+
+        tau_tot = tau_up_to(rg, far_bound(rg))
+        t_esc = jnp.exp(-tau_tot)
+        rad = rad + jnp.where(alive[:, None], thr * t_esc[:, None]
+                              * scene.env_color, 0.0)
+        p_scat = 1.0 - t_esc
+        alive_n = alive & (jax.lax.stop_gradient(p_scat) > 1e-6)
+        thr = thr * p_scat[:, None]
+
+        # reparameterized conditional sample: tau(t) = -log(1 - u * p_scat);
+        # p_scat stays differentiable — t depends on theta both through tau
+        # and through the conditioning mass (the implicit-diff VJP of the
+        # solver routes the target's cotangent correctly)
+        target = -jnp.log1p(-xi[:, 0] * p_scat * 0.999999)
+        t_sc = solve_conditional_free_flight(rg, target)
+        # sanitize dead lanes so masked NaNs can't leak into reverse-mode
+        t_sc = jnp.where(alive_n, t_sc, 0.0)
+        pos = o + t_sc[:, None] * d
+        tsg = jax.lax.stop_gradient(t_sc)[:, None]
+        active = rg.hit & (rg.t0 <= tsg) & (tsg <= rg.t1)
+        albedo = gmm.albedo_at(pos, active)
+
+        li, w_ne = _nee(scene, gmm, pos, xi[:, 1], xi[:, 2], xi[:, 3:5])
+        contrib = thr * (albedo * INV_4PI * w_ne)[:, None] * li
+        rad = rad + jnp.where(alive_n[:, None], contrib, 0.0)
+
+        thr = thr * albedo[:, None]
+        new_d = _dir_from_xi(xi[:, 6:8])
+        o = jnp.where(alive_n[:, None], pos, o)
+        d = jnp.where(alive_n[:, None], new_d, d)
+        return (o, d, thr, rad, alive_n), None
+
+    state = (origin, direction, jnp.ones((b, 3)), jnp.zeros((b, 3)),
+             jnp.ones((b,), bool))
+    (o, d, thr, rad, alive), _ = jax.lax.scan(
+        body, state, jnp.arange(n_bounces))
     return rad
 
 

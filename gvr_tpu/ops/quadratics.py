@@ -86,7 +86,10 @@ def intersect_from_quadratics(a, b, c):
     cc = c - R_CUT * R_CUT
     disc = b * b - 4.0 * a * cc
     hit = (disc >= 0.0) & (a > 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # where-guarded sqrt: d/dx sqrt(x) at the clamp would be inf, and
+    # masked-out lanes would still poison reverse-mode with 0 * inf = NaN
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    sq = jnp.where(disc > 0.0, sq, 0.0)
     inv2a = 0.5 / jnp.maximum(a, 1e-30)
     t0 = (-b - sq) * inv2a
     t1 = (-b + sq) * inv2a

@@ -165,3 +165,45 @@ def sample_free_flight(rg: RayGaussians, target_tau, solver: Solver,
         raise ValueError(f"unknown solver {solver}")
 
     return jnp.where(scattered, t, NO_SCATTER), scattered
+
+
+# -----------------------------------------------------------------------------
+# Differentiable free-flight sampling (implicit function theorem)
+# -----------------------------------------------------------------------------
+#
+# The root t(theta) of tau(t; theta) = target is implicitly differentiable:
+#     dt/dtheta = -(d tau/d theta at t) / sigma_t(t)
+#     dt/dtarget = 1 / sigma_t(t)
+# This is the "reparameterized analytic inverse" that replaces the
+# reference's stochastic finite differences (inverse_integrator.h): gradients
+# of the sampled scatter position flow into Gaussian parameters without any
+# extra renders.
+
+@jax.custom_vjp
+def solve_conditional_free_flight(rg: RayGaussians, target):
+    """Free-flight distance for targets already conditioned to scatter
+    (target < tau_total).  Pure Newton; differentiable via custom VJP."""
+    t_lo, t_hi, tau_max = _bracket(rg)
+    tgt = jnp.minimum(target, tau_max * 0.999999)
+    return _safeguarded_newton(rg, tgt, t_lo, t_hi, 24, use_newton=True)
+
+
+def _sff_fwd(rg, target):
+    t = solve_conditional_free_flight(rg, target)
+    return t, (rg, target, t)
+
+
+def _sff_bwd(res, g):
+    rg, target, t = res
+    sigma = jnp.maximum(sigma_t_at(rg, None, t), 1e-12)
+    # dtau/dtheta at fixed t, via VJP of tau_up_to
+    _, vjp = jax.vjp(lambda r: tau_up_to(r, t), rg)
+    scale = -g / sigma
+    (g_rg,) = vjp(scale)
+    # kill the spurious cotangent tau_up_to produces for its t argument
+    # (t is held fixed in the implicit derivative)
+    g_target = g / sigma
+    return g_rg, g_target
+
+
+solve_conditional_free_flight.defvjp(_sff_fwd, _sff_bwd)

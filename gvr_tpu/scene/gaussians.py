@@ -184,7 +184,9 @@ class GaussianMixture:
         mt = self.mu_t(x) * active_mask
         s = jnp.sum(mt, axis=-1)
         sa = jnp.sum(mt * self.albedo, axis=-1)
-        amix = jnp.where(s > 0.0, sa / jnp.maximum(s, 1e-30), 0.0)
+        # grad-safe division: zero lanes must not produce 1e30-scale grads
+        s_safe = jnp.where(s > 1e-25, s, 1.0)
+        amix = jnp.where(s > 1e-25, sa / s_safe, 0.0)
         sigma_s = amix * s
         sigma_a = (1.0 - amix) * s
         return sigma_a, sigma_s
@@ -195,7 +197,8 @@ class GaussianMixture:
         mt = self.mu_t(x) * active_mask
         s = jnp.sum(mt, axis=-1)
         sa = jnp.sum(mt * self.albedo, axis=-1)
-        return jnp.clip(sa / jnp.maximum(s, 1e-30), 0.0, 1.0)
+        s_safe = jnp.where(s > 1e-25, s, 1.0)
+        return jnp.clip(jnp.where(s > 1e-25, sa / s_safe, 0.0), 0.0, 1.0)
 
     # -- AABBs (gaussian.h:302-319) --------------------------------------------
     def aabbs(self):
@@ -290,26 +293,27 @@ def rotation_to_rodrigues(r):
 def rodrigues_to_rotation(rod):
     """Batched axis*angle [N,3] -> rotation matrix [N,3,3] (gmm.h:644-651).
 
-    Uses the Rodrigues formula with a Taylor-safe small-angle branch so it is
-    differentiable at rod = 0."""
-    angle = jnp.linalg.norm(rod, axis=-1)
-    safe = jnp.maximum(angle, 1e-12)[:, None]
-    axis = rod / safe
-    x, y, z = axis[:, 0], axis[:, 1], axis[:, 2]
+    Sinc form on the *unnormalized* skew matrix:
+        R = I + sin(t)/t * K + (1-cos t)/t^2 * K^2,   K = skew(rod)
+    with Taylor branches for the two ratios — smooth (and with finite
+    gradients) at rod = 0, unlike axis-normalization (whose norm() gradient
+    is NaN at zero; axis-aligned Gaussians pack to exactly rod = 0)."""
+    t2 = jnp.sum(rod * rod, axis=-1)
+    t = jnp.sqrt(jnp.maximum(t2, 1e-24))
+    small = t2 < 1e-8
+    sin_ratio = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    cos_ratio = jnp.where(small, 0.5 - t2 / 24.0,
+                          (1.0 - jnp.cos(t)) / jnp.maximum(t2, 1e-24))
+    x, y, z = rod[:, 0], rod[:, 1], rod[:, 2]
     zero = jnp.zeros_like(x)
     k = jnp.stack([
         jnp.stack([zero, -z, y], axis=-1),
         jnp.stack([z, zero, -x], axis=-1),
         jnp.stack([-y, x, zero], axis=-1),
     ], axis=-2)                                            # [N,3,3]
-    s = jnp.sin(angle)[:, None, None]
-    c = jnp.cos(angle)[:, None, None]
     eye = jnp.eye(3, dtype=rod.dtype)[None]
-    r = eye + s * k + (1.0 - c) * (k @ k)
-    small = (angle < 1e-8)[:, None, None]
-    # first-order expansion near zero keeps gradients finite
-    r_small = eye + k * angle[:, None, None]
-    return jnp.where(small, r_small, r)
+    return (eye + sin_ratio[:, None, None] * k
+            + cos_ratio[:, None, None] * (k @ k))
 
 
 def inv_sigmoid(y):

@@ -1,0 +1,66 @@
+"""Multi-chip SPMD tests on the virtual 8-device CPU mesh (SURVEY §7 stage
+7): sharded rendering must be bitwise-identical to single-device, and the
+sharded gradient (the framework's one collective) must match unsharded."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gvr_tpu.scene.scene import parse_gmm
+from gvr_tpu.cameras import PinholeCamera
+from gvr_tpu.config import RenderConfig
+from gvr_tpu.integrators.multiscatter import multiscatter_radiance
+from gvr_tpu.inverse.fit import fit_loss, _pixel_rays
+from gvr_tpu.parallel.sharding import (make_mesh, sharded_render_fn,
+                                       sharded_value_and_grad)
+
+SCENE = ("l 0 4 0  8 8 8\n"
+         "g 0.1 1.0 0.2  0.08 0.01 0  0.07 0 0.09  1.5 0.7\n")
+CAM = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_render_matches_single_device(mesh):
+    scene = parse_gmm(SCENE)
+    cfg = RenderConfig(width=16, height=16, spp=1)
+    w = h = 16
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    o, d, keys = _pixel_rays(CAM, w, h, ids, jax.random.key(0))
+
+    def radiance(sc, o, d, keys):
+        return multiscatter_radiance(sc, o, d, keys, cfg)
+
+    single = np.asarray(jax.jit(radiance)(scene, o, d, keys))
+    sharded = np.asarray(
+        jax.jit(sharded_render_fn(radiance, mesh))(scene, o, d, keys))
+    np.testing.assert_allclose(sharded, single, atol=2e-6)
+
+
+def test_sharded_grads_match_unsharded(mesh):
+    scene = parse_gmm(SCENE)
+    params = scene.medium.pack_parameters()
+    w = h = 16
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    o, d, keys = _pixel_rays(CAM, w, h, ids, jax.random.key(1))
+    target = jnp.full((w * h, 3), 0.3, jnp.float32)
+
+    def loss_fn(p, template, o, d, keys, tgt):
+        return fit_loss(p, template, o, d, keys, tgt, n_bounces=2)
+
+    loss_u, grads_u = jax.value_and_grad(loss_fn)(
+        params, scene, o, d, keys, target)
+    vg = sharded_value_and_grad(loss_fn, mesh)
+    loss_s, grads_s = jax.jit(vg)(params, scene, o, d, keys, target)
+
+    # mean-of-shard-means == global mean for equal shard sizes
+    np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads_s), np.asarray(grads_u),
+                               rtol=1e-3, atol=1e-5)

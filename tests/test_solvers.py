@@ -1,0 +1,80 @@
+"""Free-flight solver tests: every solver must invert tau_total(t) = target
+(reference distance_solvers.h semantics, minus the ones that are by design
+approximate)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gvr_tpu.config import Solver
+from gvr_tpu.ops.transmittance import tau_coeffs, tau_up_to, far_bound
+from gvr_tpu.ops.solvers import sample_free_flight, NO_SCATTER
+from gvr_tpu.scene.gaussians import GaussianMixture
+
+from oracle import OracleMixture
+from test_gaussian_math import make_pair, random_rays
+
+
+@pytest.mark.parametrize("solver", [Solver.NEWTON, Solver.BISECTION,
+                                    Solver.ANALYTIC_NEWTON])
+def test_solver_inverts_tau(rng, solver):
+    om, gm = make_pair(rng, n=6)
+    o, d = random_rays(rng, 128)
+    rg = tau_coeffs(gm, jnp.asarray(o), jnp.asarray(d))
+    tau_max = np.asarray(tau_up_to(rg, far_bound(rg)))
+    # pick targets below the max so scatter must happen where tau_max > 0
+    target = jnp.asarray(0.5 * tau_max + 1e-9, jnp.float32)
+    t, scattered = sample_free_flight(rg, target, solver, iters=40)
+    t = np.asarray(t)
+    scat = np.asarray(scattered)
+    assert scat.sum() > 16
+    tau_at = np.asarray(tau_up_to(rg, jnp.asarray(np.where(scat, t, 0.0))))
+    good = scat & (tau_max > 1e-4)
+    np.testing.assert_allclose(tau_at[good], np.asarray(target)[good],
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_no_scatter_when_target_exceeds_tau(rng):
+    om, gm = make_pair(rng, n=4)
+    o, d = random_rays(rng, 64)
+    rg = tau_coeffs(gm, jnp.asarray(o), jnp.asarray(d))
+    tau_max = np.asarray(tau_up_to(rg, far_bound(rg)))
+    target = jnp.asarray(tau_max * 1.5 + 1.0, jnp.float32)
+    t, scattered = sample_free_flight(rg, target, Solver.NEWTON, iters=24)
+    assert not np.asarray(scattered).any()
+    assert np.all(np.asarray(t) == NO_SCATTER)
+
+
+def test_analytic_matches_newton_single_gaussian(rng):
+    om, gm = make_pair(rng, n=1)
+    o, d = random_rays(rng, 64)
+    rg = tau_coeffs(gm, jnp.asarray(o), jnp.asarray(d))
+    tau_max = np.asarray(tau_up_to(rg, far_bound(rg)))
+    target = jnp.asarray(0.7 * tau_max + 1e-9, jnp.float32)
+    t_n, s_n = sample_free_flight(rg, target, Solver.NEWTON, iters=40)
+    t_a, s_a = sample_free_flight(rg, target, Solver.ANALYTIC_NEWTON,
+                                  iters=40)
+    good = np.asarray(s_n) & (tau_max > 1e-4)
+    np.testing.assert_allclose(np.asarray(t_a)[good], np.asarray(t_n)[good],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_uniform_solver_within_critical_segment(rng):
+    """UNIFORM must return a t inside the bracketing event segment
+    (distance_solvers.h:132-137)."""
+    om, gm = make_pair(rng, n=4)
+    o, d = random_rays(rng, 64)
+    rg = tau_coeffs(gm, jnp.asarray(o), jnp.asarray(d))
+    tau_max = np.asarray(tau_up_to(rg, far_bound(rg)))
+    target = jnp.asarray(0.5 * tau_max + 1e-9, jnp.float32)
+    u = jnp.asarray(rng.uniform(size=64), jnp.float32)
+    t, scattered = sample_free_flight(rg, target, Solver.UNIFORM, iters=1,
+                                      u_uniform=u)
+    t_n, _ = sample_free_flight(rg, target, Solver.NEWTON, iters=40)
+    good = np.asarray(scattered) & (tau_max > 1e-3)
+    # the exact root and the uniform sample share the same segment; with
+    # many candidates just check plausibility bounds
+    t_lo = np.asarray(jnp.min(jnp.where(rg.hit, rg.t0, jnp.inf), axis=-1))
+    t_hi = np.asarray(far_bound(rg))
+    assert np.all(np.asarray(t)[good] >= t_lo[good] - 1e-5)
+    assert np.all(np.asarray(t)[good] <= t_hi[good] + 1e-5)
