@@ -57,9 +57,19 @@ class RenderConfig:
     step_size: float = 0.01        # ray-march step (deterministic integrators)
     env_samples: int = 20          # env direction samples (ray marchers)
     solver: Solver = Solver.ANALYTIC_NEWTON
-    solver_iters: int = 24         # fixed Newton/bisection trip count
+    solver_iters: int = 14         # fixed Newton/bisection trip count
     ray_chunk: int = 1 << 16       # rays per jitted chunk (memory bound)
     seed: int = 0                  # base RNG seed
+    # per-ray candidate compaction: the free-flight solver runs on the
+    # candidate_k nearest-entering hit Gaussians per ray. 0 = dense.
+    # Dense wins on TPU for N up to a few thousand (per-ray gathers are
+    # lane-shuffles, ~30x slower than the dense erf math they save); the
+    # compacted path exists for the Pallas big-N kernel and for tests.
+    candidate_k: int = 0
+    # fused Pallas bounce kernel (kernels/pathtrace.py): 'auto' uses it on
+    # TPU backends, 'on'/'off' force; 'interpret' runs it in interpreter
+    # mode (CPU testing).
+    pallas: str = "auto"
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -14,7 +14,8 @@ import numpy as np
 
 from gvr_tpu.config import RenderConfig, Solver
 from gvr_tpu.scene.scene import Scene
-from gvr_tpu.ops.transmittance import tau_coeffs
+from gvr_tpu.ops.transmittance import (tau_coeffs, compact_candidates,
+                                       albedo_at_from_rg)
 from gvr_tpu.ops.solvers import sample_free_flight
 from gvr_tpu.integrators.common import pick_chunk
 from gvr_tpu.integrators.multiscatter import _nee, mc_camera_rays
@@ -28,14 +29,17 @@ def single_scatter_radiance(scene: Scene, origin, direction, keys,
     xi = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 0),
                                                (9,)))(keys)
     rg = tau_coeffs(gmm, origin, direction)
+    if 0 < cfg.candidate_k < gmm.n:
+        rg, alb_k, _ = compact_candidates(rg, gmm.albedo, cfg.candidate_k)
+    else:
+        alb_k = gmm.albedo
     target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
     u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
     t_sc, scattered = sample_free_flight(
         rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
 
     pos = origin + t_sc[:, None] * direction
-    active = rg.hit & (rg.t0 <= t_sc[:, None]) & (t_sc[:, None] <= rg.t1)
-    albedo = gmm.albedo_at(pos, active)
+    albedo = albedo_at_from_rg(rg, alb_k, t_sc)
 
     li, w_ne = _nee(scene, gmm, pos, xi[:, 1], xi[:, 2], xi[:, 3:5])
     scatter_l = (albedo * INV_4PI * w_ne)[:, None] * li

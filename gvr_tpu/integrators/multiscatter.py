@@ -30,7 +30,8 @@ import numpy as np
 from gvr_tpu.config import RenderConfig, Solver
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.ops.transmittance import (
-    tau_coeffs, tau_up_to, transmittance_up_to, far_bound)
+    tau_coeffs, tau_up_to, tau_total, transmittance_up_to, far_bound,
+    compact_candidates, albedo_at_from_rg)
 from gvr_tpu.ops.solvers import (
     sample_free_flight, solve_conditional_free_flight)
 from gvr_tpu.ops.sampling import path_key
@@ -88,9 +89,17 @@ def multiscatter_radiance(scene: Scene, origin, direction, keys,
         o, d, thr, rad, alive, bounce = state
         return jnp.any(alive) & (bounce < cfg.max_bounces)
 
+    use_compact = 0 < cfg.candidate_k < gmm.n
+
     def body(state):
         o, d, thr, rad, alive, bounce = state
         rg = tau_coeffs(gmm, o, d)
+        if use_compact:
+            # BVH-pruning replacement: run the fixed-iteration solver on the
+            # candidate_k nearest-entering hits instead of all N Gaussians
+            rg, alb_k, _ = compact_candidates(rg, gmm.albedo, cfg.candidate_k)
+        else:
+            alb_k = gmm.albedo
         xi = uniforms(keys, bounce)                          # [B,9]
 
         # free-flight distance by regular tracking (integrator.h:599-614)
@@ -105,8 +114,7 @@ def multiscatter_radiance(scene: Scene, origin, direction, keys,
         alive_n = alive & scattered
 
         pos = o + t_sc[:, None] * d
-        active = rg.hit & (rg.t0 <= t_sc[:, None]) & (t_sc[:, None] <= rg.t1)
-        albedo = gmm.albedo_at(pos, active)                  # [B]
+        albedo = albedo_at_from_rg(rg, alb_k, t_sc)          # [B]
 
         # NEE (one light or env per bounce)
         li, w_ne = _nee(scene, gmm, pos, xi[:, 1], xi[:, 2], xi[:, 3:5])
@@ -166,7 +174,7 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, keys,
         rg = tau_coeffs(gmm, o, d)
         xi = uniforms(bounce)
 
-        tau_tot = tau_up_to(rg, far_bound(rg))
+        tau_tot = tau_total(rg)
         t_esc = jnp.exp(-tau_tot)
         rad = rad + jnp.where(alive[:, None], thr * t_esc[:, None]
                               * scene.env_color, 0.0)
@@ -222,26 +230,172 @@ def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx,
     return o, d, keys
 
 
+def _pallas_enabled(cfg: RenderConfig) -> bool:
+    if cfg.pallas == "off":
+        return False
+    if cfg.pallas in ("on", "interpret"):
+        return True
+    try:
+        from gvr_tpu.kernels.pathtrace import pallas_available
+        return pallas_available() and jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids, base_key,
+                     static_lights=None):
+    """All-spp radiance for a chunk of pixels with *path regeneration*:
+    one persistent lane per pixel; when a path terminates (escape or RR),
+    the lane immediately starts the pixel's next stratified sample.
+
+    The reference's per-path loop wastes nothing because it is scalar; a
+    naive SIMD while_loop pays the longest path's bounce count for every
+    lane (RR's 0.9 cap gives a long tail), leaving <1% utilization at the
+    tail.  Regeneration keeps lane utilization near 100% and amortizes the
+    tail across all spp — the TPU analog of GPU persistent-threads
+    wavefront path tracing.  Estimator and RNG streams are identical to
+    ``multiscatter_radiance`` per (pixel, sample).
+    """
+    gmm = scene.medium
+    b = ids.shape[0]
+    w, h = cfg.width, cfg.height
+    x = ids % w
+    y = ids // w
+    n_strat = max(int(cfg.spp ** 0.5), 1)
+    use_compact = 0 < cfg.candidate_k < gmm.n
+
+    use_pallas = _pallas_enabled(cfg)
+    if use_pallas:
+        from gvr_tpu.kernels.pathtrace import pack_table, bounce_step_pallas
+        table = pack_table(gmm)
+        if static_lights is None:
+            # only valid outside jit; jitted callers must pass static_lights
+            static_lights = (
+                tuple(tuple(float(v) for v in r)
+                      for r in np.asarray(scene.lights_p)),
+                tuple(tuple(float(v) for v in r)
+                      for r in np.asarray(scene.lights_i)),
+                tuple(float(v) for v in np.asarray(scene.env_color)))
+        lights_t, inten_t, env_t = static_lights
+        w_ne_pallas = float(len(lights_t) + 1) if lights_t else 1.0
+
+    def make_ray(sample_idx):
+        keys = jax.vmap(lambda a, c, s: path_key(base_key, a, c, s)
+                        )(x, y, sample_idx)
+        jkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5eed))(keys)
+        xi = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(jkeys)
+        sx = (sample_idx % n_strat).astype(jnp.float32)
+        sy = (sample_idx // n_strat).astype(jnp.float32)
+        u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n_strat) / w
+        v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n_strat) / h
+        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
+        # carry raw key data in the loop state (typed key arrays can't be
+        # jnp.where-selected)
+        return o, d, jax.random.key_data(keys)
+
+    def cond(state):
+        o, d, thr, acc, keys, alive, sample, bounce, it = state
+        return jnp.any(alive | (sample < cfg.spp)) & (
+            it < cfg.spp * cfg.max_bounces + cfg.max_bounces)
+
+    def body(state):
+        o, d, thr, acc, keys, alive, sample, bounce, it = state
+
+        # --- regenerate dead lanes that still have samples to trace ---
+        regen = ~alive & (sample < cfg.spp)
+        o_n, d_n, keys_n = make_ray(jnp.where(regen, sample, 0))
+        o = jnp.where(regen[:, None], o_n, o)
+        d = jnp.where(regen[:, None], d_n, d)
+        keys = jnp.where(regen[:, None], keys_n, keys)
+        tkeys = jax.vmap(jax.random.wrap_key_data)(keys)
+        thr = jnp.where(regen[:, None], 1.0, thr)
+        bounce = jnp.where(regen, 0, bounce)
+        sample = jnp.where(regen, sample + 1, sample)
+        alive = alive | regen
+
+        # --- one bounce step (identical math to multiscatter_radiance) ---
+        xi = jax.vmap(lambda k, bn: jax.random.uniform(
+            jax.random.fold_in(k, bn), (9,)))(tkeys, bounce)
+        if use_pallas:
+            t_sc, scattered, albedo, li, _ = bounce_step_pallas(
+                table, o, d, xi, lights_t, inten_t, env_t,
+                solver_iters=cfg.solver_iters,
+                interpret=(cfg.pallas == "interpret"))
+            w_ne = w_ne_pallas
+            pos = o + t_sc[:, None] * d
+        else:
+            rg = tau_coeffs(gmm, o, d)
+            if use_compact:
+                rg, alb_k, _ = compact_candidates(rg, gmm.albedo,
+                                                  cfg.candidate_k)
+            else:
+                alb_k = gmm.albedo
+            target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
+            u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
+            t_sc, scattered = sample_free_flight(
+                rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
+            pos = o + t_sc[:, None] * d
+            albedo = albedo_at_from_rg(rg, alb_k, t_sc)
+
+        escaped = alive & ~scattered
+        acc = acc + jnp.where(escaped[:, None], thr * scene.env_color, 0.0)
+        alive_n = alive & scattered
+
+        if not use_pallas:
+            li, w_ne = _nee(scene, gmm, pos, xi[:, 1], xi[:, 2], xi[:, 3:5])
+        contrib = thr * (albedo * INV_4PI * w_ne)[:, None] * li
+        acc = acc + jnp.where(alive_n[:, None], contrib, 0.0)
+
+        thr_n = thr * albedo[:, None]
+        do_rr = bounce >= cfg.min_scatter
+        rr = jnp.minimum(jnp.max(thr_n, axis=-1), cfg.rr_cap)
+        killed = do_rr & (xi[:, 5] > rr)
+        thr_n = jnp.where((do_rr & ~killed)[:, None],
+                          thr_n / jnp.maximum(rr, 1e-12)[:, None], thr_n)
+        alive_n = alive_n & ~killed & (bounce + 1 < cfg.max_bounces)
+
+        new_d = _dir_from_xi(xi[:, 6:8])
+        o = jnp.where(alive_n[:, None], pos, o)
+        d = jnp.where(alive_n[:, None], new_d, d)
+        thr = jnp.where(alive_n[:, None], thr_n, thr)
+        return (o, d, thr, acc, keys, alive_n, sample,
+                bounce + 1, it + 1)
+
+    zeros3 = jnp.zeros((b, 3))
+    keys0 = jax.random.key_data(
+        jax.vmap(lambda a, c: path_key(base_key, a, c, 0))(x, y))
+    state = (zeros3, jnp.ones((b, 3)), jnp.ones((b, 3)), zeros3, keys0,
+             jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
+             jnp.zeros(b, jnp.int32), jnp.int32(0))
+    *_, acc, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return acc / cfg.spp
+
+
 def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
                         progress=False) -> np.ndarray:
-    """Full MC render: accumulate spp stratified samples per pixel."""
+    """Full MC render: all spp per pixel in one wavefront dispatch per
+    pixel chunk (path regeneration keeps lanes busy across samples)."""
     w, h = cfg.width, cfg.height
     base_key = jax.random.key(cfg.seed)
 
-    def radiance(sc: Scene, ids, si):
-        o, d, keys = mc_camera_rays(sc, camera, cfg, ids, si, base_key)
-        return multiscatter_radiance(sc, o, d, keys, cfg)
-
-    fn = jax.jit(radiance)
+    static_lights = None
+    if _pallas_enabled(cfg):
+        static_lights = (
+            tuple(tuple(float(v) for v in r)
+                  for r in np.asarray(scene.lights_p)),
+            tuple(tuple(float(v) for v in r)
+                  for r in np.asarray(scene.lights_i)),
+            tuple(float(v) for v in np.asarray(scene.env_color)))
+    fn = jax.jit(lambda sc, ids: wavefront_pixels(sc, camera, cfg, ids,
+                                                  base_key, static_lights))
     chunk = pick_chunk(cfg, scene.medium.n)
     acc = np.zeros((w * h, 3), np.float32)
-    for si in range(cfg.spp):
-        for start in range(0, w * h, chunk):
-            ids = np.arange(start, start + chunk, dtype=np.int32)
-            ids = np.minimum(ids, w * h - 1)
-            vals = np.asarray(fn(scene, jnp.asarray(ids), jnp.int32(si)))
-            stop = min(start + chunk, w * h)
-            acc[start:stop] += vals[: stop - start]
-        if progress and (si + 1) % 16 == 0:
-            print(f"  sample {si + 1}/{cfg.spp}")
-    return (acc / cfg.spp).reshape(h, w, 3)
+    for start in range(0, w * h, chunk):
+        ids = np.arange(start, start + chunk, dtype=np.int32)
+        ids = np.minimum(ids, w * h - 1)
+        vals = np.asarray(fn(scene, jnp.asarray(ids)))
+        stop = min(start + chunk, w * h)
+        acc[start:stop] = vals[: stop - start]
+        if progress:
+            print(f"  pixels {stop}/{w * h}")
+    return acc.reshape(h, w, 3)

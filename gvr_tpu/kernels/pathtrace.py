@@ -1,0 +1,356 @@
+"""Fused Pallas TPU kernel for one path-tracing bounce.
+
+This is the kernel BASELINE.json asks for: ray-gaussian quadratics, analytic
+(erf) transmittance, free-flight inversion and NEE fuse into one VMEM-resident
+program.  The XLA wavefront loop (integrators/multiscatter.py) is
+memory-bound: each Newton iteration re-reads ~8 [rays, N] arrays from HBM
+(~10 GB per bounce at 65k rays x 250 gaussians).  Here the packed Gaussian
+table plus all per-(gaussian, ray) intermediates live in VMEM across the
+whole bounce — HBM traffic drops to the [rays]-sized state.
+
+Orientation: gaussians on sublanes, rays on lanes — per-gaussian features
+are [N, 1] columns, per-ray values are [1, blk] rows, their broadcasts are
+the [N, blk] working set, and no in-kernel transposes are needed.
+
+Layout
+  table [Np, 128]  gaussians x feature columns (Np padded to a multiple of 8;
+                   feature dim padded to one lane tile):
+      0-5   icpack (ic00, ic11, ic22, ic01, ic02, ic12)
+      6-8   q = inv_cov @ mean
+      9     c0 = mean^T inv_cov mean
+      10    dens_norm = density * (2 pi)^-1.5 det^-1/2
+      11    albedo
+      12    valid (1.0 for real gaussians, 0 for padding)
+  rays  [16, B]    per-ray lanes (B padded to the block size):
+      0-2 origin, 3-5 direction, 6 target_tau u, 7 NEE-choice u,
+      8 light-index u, 9-10 env-direction u
+  out   [8, B]:    0 t_scatter, 1 scattered, 2 albedo, 3-5 Li, 6 tau_tot
+
+Scene lights and env color are baked in as compile-time constants (tiny and
+static per render).
+
+Reference semantics reproduced: regular-tracking free flight
+(integrator.h:422-498 + distance_solvers.h) via bracketed Newton on the
+clipped-interval tau; NEE light/env selection and weights
+(integrator.h:657-683); mixture albedo at the scatter point (gmm.h:128-143).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvr_tpu.scene.gaussians import GaussianMixture, R_CUT
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+SQRT_HALF = 0.7071067811865476
+FOUR_PI = 4.0 * math.pi
+BIG = 1e30
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|abs err| <= 1.5e-7): Pallas TPU
+    has no erf lowering.  ~6 FMAs + one exp on the VPU."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    y = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - y * jnp.exp(-ax * ax))
+
+
+def pallas_available() -> bool:
+    return _PALLAS_OK
+
+
+def pack_table(gmm: GaussianMixture):
+    """[Np, 128] feature table, Np = N rounded up to 8.  Pure jnp, so it
+    traces under jit (the fit loop repacks updated Gaussians every step)."""
+    n = gmm.n
+    np_ = max(8, ((n + 7) // 8) * 8)
+    rows = jnp.concatenate([
+        gmm.icpack(),                                    # 0-5
+        gmm.qvec(),                                      # 6-8
+        gmm.c0()[:, None],                               # 9
+        (gmm.density * gmm.norm)[:, None],               # 10
+        gmm.albedo[:, None],                             # 11
+        jnp.ones((n, 1), jnp.float32),                   # 12 valid
+        gmm.mean,                                        # 13-15
+    ], axis=1)
+    tab = jnp.zeros((np_, 128), jnp.float32)
+    tab = tab.at[:n, :16].set(rows)
+    # benign padding: identity quadratic with zero density
+    tab = tab.at[n:, 0:3].set(1.0)
+    return tab
+
+
+def _coeffs(col, ox, oy, oz, dx, dy, dz):
+    """Quadratic coefficients [N, blk] for rays (rows) against gaussians
+    (columns).  Expanded FMA chain on the VPU — full fp32, no MXU bf16
+    passes (see ops/quadratics.py for why precision matters here)."""
+    ic0, ic1, ic2, ic3, ic4, ic5 = (col(i) for i in range(6))
+    qx, qy, qz = col(6), col(7), col(8)
+    c0 = col(9)
+
+    def bil(ux, uy, uz, vx, vy, vz):
+        return (ux * vx * ic0 + uy * vy * ic1 + uz * vz * ic2
+                + (ux * vy + uy * vx) * ic3
+                + (ux * vz + uz * vx) * ic4
+                + (uy * vz + uz * vy) * ic5)
+
+    a = bil(dx, dy, dz, dx, dy, dz)
+    d_q = dx * qx + dy * qy + dz * qz
+    b = 2.0 * (bil(ox, oy, oz, dx, dy, dz) - d_q)
+    del c0
+    return a, b
+
+
+def _interval(col, ox, oy, oz, dx, dy, dz, a, b):
+    """Cancellation-free closest-approach geometry: returns
+    (t0 [clamped >=0], t1, m2, ok) each [N, blk].
+    m2 is the squared Mahalanobis distance at the closest point (stable
+    positive form — see ops/transmittance.min_mahalanobis_sq)."""
+    ic0, ic1, ic2, ic3, ic4, ic5 = (col(i) for i in range(6))
+    mx, my, mz = col(13), col(14), col(15)
+    valid_g = col(12)
+    a_s = jnp.maximum(a, 1e-30)
+    t_star = -b / (2.0 * a_s)
+    vx = ox - mx + t_star * dx
+    vy = oy - my + t_star * dy
+    vz = oz - mz + t_star * dz
+    m2 = (vx * vx * ic0 + vy * vy * ic1 + vz * vz * ic2
+          + 2.0 * (vx * vy * ic3 + vx * vz * ic4 + vy * vz * ic5))
+    m2 = jnp.maximum(m2, 0.0)
+    gap = (R_CUT * R_CUT - m2) / a_s
+    half = jnp.sqrt(jnp.where(gap > 0.0, gap, 0.0))
+    t1 = t_star + half
+    t0 = jnp.maximum(t_star - half, 0.0)
+    ok = (gap > 0.0) & (t1 >= 0.0) & (valid_g > 0.0)
+    return t0, t1, m2, ok
+
+
+def _tau_nee(col, px, py, pz, wx, wy, wz, tmax):
+    """One-shot clipped optical depth along shadow/env rays: [1, blk]."""
+    a, b = _coeffs(col, px, py, pz, wx, wy, wz)
+    dens_norm = col(10)
+    a_s = jnp.maximum(a, 1e-30)
+    t0, t1, m2, ok = _interval(col, px, py, pz, wx, wy, wz, a, b)
+    hi = jnp.minimum(t1, tmax)
+    ok = ok & (hi > t0)
+    sa = jnp.sqrt(a_s)
+    zoff = b * (0.5 / sa)
+    pref = dens_norm * jnp.exp(-0.5 * m2) * jnp.sqrt(jnp.pi / (2.0 * a_s))
+    f = lambda t: _erf((sa * t + zoff) * SQRT_HALF)
+    seg = pref * (f(hi) - f(t0))
+    return jnp.sum(jnp.where(ok, seg, 0.0), axis=0, keepdims=True)
+
+
+def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights):
+    """Build the bounce kernel with scene lights baked in as constants."""
+
+    def kernel(tab_ref, rays_ref, out_ref):
+        col = lambda f: tab_ref[:, f:f + 1]            # [N, 1]
+        row = lambda f: rays_ref[f:f + 1, :]           # [1, blk]
+        ox, oy, oz = row(0), row(1), row(2)
+        dx, dy, dz = row(3), row(4), row(5)
+        u_tau, u_nee, u_light = row(6), row(7), row(8)
+        u_env1, u_env2 = row(9), row(10)
+
+        a, b = _coeffs(col, ox, oy, oz, dx, dy, dz)
+        dens_norm = col(10)
+        a_s = jnp.maximum(a, 1e-30)
+        t0, t1, m2, ok = _interval(col, ox, oy, oz, dx, dy, dz, a, b)
+
+        sa = jnp.sqrt(a_s)
+        zoff = b * (0.5 / sa)
+        peak = dens_norm * jnp.exp(-0.5 * m2)
+        pref = jnp.where(ok, peak * jnp.sqrt(jnp.pi / (2.0 * a_s)), 0.0)
+        erf_lo = _erf((sa * t0 + zoff) * SQRT_HALF)
+        erf_hi = _erf((sa * t1 + zoff) * SQRT_HALF)
+        tau_i = pref * (erf_hi - erf_lo)
+        t0m = jnp.where(ok, t0, BIG)
+        t1m = jnp.where(ok, t1, 0.0)
+
+        tau_tot = jnp.sum(tau_i, axis=0, keepdims=True)      # [1, blk]
+        t_lo = jnp.min(t0m, axis=0, keepdims=True)
+        t_hi = jnp.max(t1m, axis=0, keepdims=True)
+        t_lo = jnp.minimum(t_lo, t_hi)
+
+        target = -jnp.log(jnp.maximum(1.0 - u_tau, 1e-12))
+        scattered = tau_tot > target
+        tgt = jnp.minimum(target, tau_tot * 0.999999)
+
+        # --- bracketed Newton on the clipped-interval tau ---
+        def newton_body(_, st):
+            lo, hi, t = st
+            z = sa * t + zoff                                 # [N, blk]
+            ferf = _erf(z * SQRT_HALF)
+            seg = jnp.where(t >= t1m, tau_i, pref * (ferf - erf_lo))
+            seg = jnp.where(t > t0m, seg, 0.0)
+            tau = jnp.sum(seg, axis=0, keepdims=True)
+            inside = (t >= t0m) & (t <= t1m)
+            rho = jnp.where(inside & ok, peak * jnp.exp(-0.5 * z * z), 0.0)
+            sig = jnp.sum(rho, axis=0, keepdims=True)
+            f = tau - tgt
+            lo = jnp.where(f < 0.0, t, lo)
+            hi = jnp.where(f < 0.0, hi, t)
+            t_n = t - f / jnp.maximum(sig, 1e-30)
+            good = (t_n > lo) & (t_n < hi)
+            t = jnp.where(good, t_n, 0.5 * (lo + hi))
+            return lo, hi, t
+
+        t_init = 0.5 * (t_lo + t_hi)
+        _, _, t_sc = jax.lax.fori_loop(
+            0, solver_iters, newton_body, (t_lo, t_hi, t_init))
+        t_sc = jnp.clip(t_sc, t_lo, t_hi)                     # [1, blk]
+
+        # --- mixture albedo at the scatter point (gmm.h:128-143) ---
+        alb_col = col(11)
+        z = sa * t_sc + zoff
+        inside = (t_sc >= t0m) & (t_sc <= t1m)
+        rho = jnp.where(inside & ok, peak * jnp.exp(-0.5 * z * z), 0.0)
+        s_sum = jnp.sum(rho, axis=0, keepdims=True)
+        sa_sum = jnp.sum(rho * alb_col, axis=0, keepdims=True)
+        s_safe = jnp.where(s_sum > 1e-25, s_sum, 1.0)
+        albedo = jnp.clip(jnp.where(s_sum > 1e-25, sa_sum / s_safe, 0.0),
+                          0.0, 1.0)
+
+        # --- NEE: pick env or one light (integrator.h:657-683) ---
+        px = ox + t_sc * dx
+        py = oy + t_sc * dy
+        pz = oz + t_sc * dz
+
+        theta = 2.0 * jnp.pi * u_env1
+        cphi = 1.0 - 2.0 * u_env2
+        sphi = jnp.sqrt(jnp.maximum(1.0 - cphi * cphi, 0.0))
+        ex = sphi * jnp.cos(theta)
+        ey = sphi * jnp.sin(theta)
+        ez = cphi
+
+        if n_lights == 0:
+            wx, wy, wz = ex, ey, ez
+            tmax = jnp.full_like(t_sc, 1e8)
+            is_env = jnp.ones_like(t_sc, bool)
+            radx = rady = radz = jnp.zeros_like(t_sc)
+            inv_d2 = jnp.zeros_like(t_sc)
+        else:
+            is_env = u_nee < 1.0 / (n_lights + 1)
+            lidx = jnp.clip((u_light * n_lights).astype(jnp.int32),
+                            0, n_lights - 1)
+            lx = ly = lz = jnp.zeros_like(t_sc)
+            radx = rady = radz = jnp.zeros_like(t_sc)
+            for l in range(n_lights):
+                sel = lidx == l
+                lx = jnp.where(sel, lights_p[l][0], lx)
+                ly = jnp.where(sel, lights_p[l][1], ly)
+                lz = jnp.where(sel, lights_p[l][2], lz)
+                radx = jnp.where(sel, lights_i[l][0], radx)
+                rady = jnp.where(sel, lights_i[l][1], rady)
+                radz = jnp.where(sel, lights_i[l][2], radz)
+            tox = lx - px
+            toy = ly - py
+            toz = lz - pz
+            dist = jnp.sqrt(jnp.maximum(
+                tox * tox + toy * toy + toz * toz, 1e-24))
+            inv_dist = 1.0 / dist
+            wx = jnp.where(is_env, ex, tox * inv_dist)
+            wy = jnp.where(is_env, ey, toy * inv_dist)
+            wz = jnp.where(is_env, ez, toz * inv_dist)
+            tmax = jnp.where(is_env, 1e8, dist)
+            inv_d2 = inv_dist * inv_dist
+
+        tau_nee = _tau_nee(col, px, py, pz, wx, wy, wz, tmax)
+        tr = jnp.exp(-tau_nee)
+        env = env_color
+        lix = jnp.where(is_env, tr * (env[0] * FOUR_PI), tr * radx * inv_d2)
+        liy = jnp.where(is_env, tr * (env[1] * FOUR_PI), tr * rady * inv_d2)
+        liz = jnp.where(is_env, tr * (env[2] * FOUR_PI), tr * radz * inv_d2)
+
+        out_ref[0:1, :] = t_sc
+        out_ref[1:2, :] = scattered.astype(jnp.float32)
+        out_ref[2:3, :] = albedo
+        out_ref[3:4, :] = lix
+        out_ref[4:5, :] = liy
+        out_ref[5:6, :] = liz
+        out_ref[6:7, :] = tau_tot
+        out_ref[7:8, :] = jnp.zeros_like(t_sc)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "solver_iters", "lights_p", "lights_i", "env_color", "block",
+    "interpret"))
+def _bounce_call(table, rays, lights_p, lights_i, env_color,
+                 solver_iters: int, block: int, interpret: bool):
+    kernel = _make_kernel(lights_p, lights_i, env_color, solver_iters,
+                          len(lights_p))
+    b = rays.shape[1]
+    grid = (b // block,)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, b), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((table.shape[0], 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(table, rays)
+
+
+def auto_block(n_padded: int) -> int:
+    """Ray-block size so the ~10 live [N, blk] fp32 arrays fit in VMEM."""
+    blk = (1 << 22) // (4 * max(n_padded, 8))      # ~4 MB per array budget
+    return int(max(128, min(512, (blk // 128) * 128)))
+
+
+def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,
+                       solver_iters: int = 14, block: int = 0,
+                       interpret: bool = False):
+    """One fused bounce for a ray batch.
+
+    table: [Np, 128] from pack_table; o, d: [B,3]; xi: [B, >=5] uniforms
+    (target, nee-choice, light-index, env-dir x2).
+    Returns (t_sc [B], scattered bool [B], albedo [B], li [B,3], tau_tot).
+    """
+    if not block:
+        block = auto_block(table.shape[0])
+    bsz = o.shape[0]
+    pad = (-bsz) % block
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        xi = jnp.pad(xi, ((0, pad), (0, 0)))
+    rays = jnp.concatenate([
+        o.T, d.T, xi[:, :5].T,
+        jnp.zeros((5, bsz + pad), jnp.float32)], axis=0)
+
+    if isinstance(lights_p, tuple):
+        lp, li_, env = lights_p, lights_i, env_color
+    else:
+        lp = tuple(tuple(float(v) for v in r) for r in np.asarray(lights_p))
+        li_ = tuple(tuple(float(v) for v in r) for r in np.asarray(lights_i))
+        env = tuple(float(v) for v in np.asarray(env_color))
+
+    out = _bounce_call(table, rays, lp, li_, env, solver_iters, block,
+                       interpret)
+    out = out[:, :bsz]
+    return (out[0], out[1] > 0.5, out[2],
+            jnp.stack([out[3], out[4], out[5]], axis=-1), out[6])

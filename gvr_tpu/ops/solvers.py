@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from gvr_tpu.config import Solver
 from gvr_tpu.ops.transmittance import (
-    RayGaussians, tau_up_to, sigma_t_at, far_bound, any_hit, _ferf)
+    RayGaussians, tau_up_to, tau_total, sigma_t_at, far_bound, any_hit,
+    _ferf)
 
 NO_SCATTER = -1.0
 
@@ -45,7 +46,7 @@ def _bracket(rg: RayGaussians):
     t_lo = jnp.min(jnp.where(rg.hit, rg.t0, inf), axis=-1)
     t_hi = far_bound(rg)
     t_lo = jnp.minimum(t_lo, t_hi)
-    tau_max = tau_up_to(rg, t_hi)
+    tau_max = tau_total(rg)       # erf-free: precomputed per-gaussian totals
     return t_lo, t_hi, tau_max
 
 
@@ -87,7 +88,7 @@ def _analytic_single(rg: RayGaussians, target):
     t0 = pick(rg.t0)
     t1 = pick(rg.t1)
 
-    erf_t0 = jax.lax.erf((b + 2.0 * a * t0) * fs)
+    erf_t0 = pick(rg.erf_lo)
     target_erf = target / jnp.maximum(pref, 1e-30) + erf_t0
     # guards mirroring gaussian.h:273-281
     one_eps = 1.0 - 1e-6
