@@ -112,8 +112,35 @@ def _read_text(path_or_text: Union[str, os.PathLike]) -> str:
 
 def load_gmm(path: Union[str, os.PathLike],
              env_color=DEFAULT_ENV_COLOR) -> Scene:
-    """Load a Gaussian scene (scene.h:72-120)."""
+    """Load a Gaussian scene (scene.h:72-120).  Uses the native C++ parser
+    when built (gvr_tpu/native), with identical semantics."""
+    native = _native_parse(path)
+    if native is not None:
+        g, _, l = native
+        if len(g):
+            lights = [Light(row[0:3], row[3:6]) for row in l]
+            cov = np.empty((len(g), 3, 3), np.float32)
+            cov[:, 0, 0] = g[:, 3]
+            cov[:, 0, 1] = cov[:, 1, 0] = g[:, 4]
+            cov[:, 0, 2] = cov[:, 2, 0] = g[:, 5]
+            cov[:, 1, 1] = g[:, 6]
+            cov[:, 1, 2] = cov[:, 2, 1] = g[:, 7]
+            cov[:, 2, 2] = g[:, 8]
+            gmm = GaussianMixture.from_covariances(
+                g[:, 0:3], cov, g[:, 9], g[:, 10], g[:, 11:14])
+            return Scene.create(gmm, lights, env_color)
     return parse_gmm(_read_text(path), env_color)
+
+
+def _native_parse(path):
+    from gvr_tpu.native import loader as _nl
+    lib = _nl.lib()
+    if lib is None or not os.path.exists(str(path)):
+        return None
+    try:
+        return lib.parse_scene(str(path))
+    except Exception:
+        return None
 
 
 def parse_gmm(text: str, env_color=DEFAULT_ENV_COLOR) -> Scene:
@@ -139,6 +166,13 @@ def parse_gmm(text: str, env_color=DEFAULT_ENV_COLOR) -> Scene:
 def load_smm(path: Union[str, os.PathLike],
              env_color=DEFAULT_ENV_COLOR) -> Scene:
     """Load a sphere scene (scene.h:38-68)."""
+    native = _native_parse(path)
+    if native is not None:
+        _, s, l = native
+        if len(s):
+            lights = [Light(row[0:3], row[3:6]) for row in l]
+            smm = SphereMixture.create(s[:, 0:3], s[:, 3], s[:, 4], s[:, 5])
+            return Scene.create(smm, lights, env_color)
     return parse_smm(_read_text(path), env_color)
 
 

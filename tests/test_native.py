@@ -1,0 +1,94 @@
+"""Native C++ runtime library tests (gvr_tpu/native): PPM codec, full-LZW
+GIF encoder, scene parser — all must agree with the Python fallbacks.
+
+The suite still passes when the library isn't built (skips), but the build
+is one `make -C gvr_tpu/native` away and CI-grade runs should have it.
+"""
+
+import io
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from gvr_tpu.native import loader
+
+
+def _ensure_built():
+    if loader.lib() is None:
+        here = os.path.join(os.path.dirname(loader.__file__))
+        try:
+            subprocess.check_call(["make", "-C", here], timeout=120,
+                                  stdout=subprocess.DEVNULL)
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+        loader._failed = False
+    if loader.lib() is None:
+        pytest.skip("native library not built")
+    return loader.lib()
+
+
+def test_native_ppm_roundtrip(tmp_path):
+    lib = _ensure_built()
+    img = np.random.default_rng(0).integers(0, 256, (21, 33, 3)).astype(
+        np.uint8)
+    p = str(tmp_path / "n.ppm")
+    assert lib.write_ppm(p, img)
+    back = lib.read_ppm(p)
+    np.testing.assert_allclose(back, img.astype(np.float32) / 255.0,
+                               atol=1e-7)
+
+
+def test_native_parser_matches_python(ref_paths):
+    lib = _ensure_built()
+    from gvr_tpu.scene.scene import parse_gmm, _read_text
+    path = f"{ref_paths['gaussians']}/250_random.txt"
+    g, s, l = lib.parse_scene(path)
+    sc = parse_gmm(_read_text(path))
+    assert len(g) == sc.medium.n
+    np.testing.assert_allclose(g[:, 0:3], np.asarray(sc.medium.mean),
+                               atol=1e-6)
+    np.testing.assert_allclose(g[:, 9], np.asarray(sc.medium.density),
+                               atol=1e-6)
+    np.testing.assert_allclose(l[:, 0:3], np.asarray(sc.lights_p), atol=1e-6)
+
+
+def test_native_gif_decodes(tmp_path):
+    """The LZW stream must decode back to the quantized palette image."""
+    lib = _ensure_built()
+    from PIL import Image
+    from gvr_tpu.io.ppm import rgba_buffer
+    rng = np.random.default_rng(3)
+    frames = [rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+              for _ in range(2)]
+    p = str(tmp_path / "n.gif")
+    h = lib.gif_begin(p, 56, 40, 4)
+    assert h
+    for fr in frames:
+        assert lib.gif_frame(h, rgba_buffer(fr))
+    assert lib.gif_end(h)
+
+    im = Image.open(p)
+    assert im.size == (56, 40)
+    assert getattr(im, "n_frames", 1) == 2
+    im.seek(0)
+    decoded = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    # 6x7x6 cube quantization error bound ~ (255/5)/255/2 = 0.1
+    assert np.abs(decoded - frames[0]).max() < 0.12
+
+
+def test_python_gif_decodes(tmp_path):
+    """The pure-Python literal-LZW fallback must also decode correctly."""
+    from PIL import Image
+    from gvr_tpu.io.gif import _write_gif_python
+    rng = np.random.default_rng(4)
+    frames = [rng.uniform(0, 1, (24, 32, 3)).astype(np.float32)
+              for _ in range(2)]
+    p = str(tmp_path / "p.gif")
+    _write_gif_python(p, frames, 32, 24, 4)
+    im = Image.open(p)
+    assert im.size == (32, 24)
+    assert getattr(im, "n_frames", 1) == 2
+    decoded = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    assert np.abs(decoded - frames[0]).max() < 0.12
