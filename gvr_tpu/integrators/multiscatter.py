@@ -266,7 +266,11 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids, base_key,
 
     use_pallas = _pallas_enabled(cfg)
     if use_pallas:
-        from gvr_tpu.kernels.pathtrace import pack_table, bounce_step_pallas
+        from gvr_tpu.kernels.pathtrace import (
+            pack_table, bounce_step_pallas, pallas_supported_n)
+        if not pallas_supported_n(gmm.n) and cfg.pallas == "auto":
+            use_pallas = False
+    if use_pallas:
         table = pack_table(gmm)
         if static_lights is None:
             # only valid outside jit; jitted callers must pass static_lights

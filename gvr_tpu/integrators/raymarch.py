@@ -141,6 +141,139 @@ def _dir_from_xi(xi):
                       cos_phi], axis=-1)
 
 
+def _medium_intervals(medium, o, d):
+    """(t0 [clamped>=0], t1, hit) for either medium type."""
+    from gvr_tpu.scene.gaussians import GaussianMixture
+    if isinstance(medium, GaussianMixture):
+        from gvr_tpu.ops.quadratics import intersect_gaussians
+        t0, t1, hit = intersect_gaussians(medium, o, d)
+    else:
+        t0, t1, hit = medium.intersect(o, d)
+    return jnp.maximum(t0, 0.0), t1, hit
+
+
+def _medium_sigma(medium, pos, active):
+    from gvr_tpu.scene.gaussians import GaussianMixture
+    if isinstance(medium, GaussianMixture):
+        return medium.sigma_albedo(pos, active)
+    return medium.sigma_at(active)
+
+
+def march_transmittance(medium, o, d, tmax, step: float, n_steps: int):
+    """Marched (left-Riemann) transmittance: T = prod exp(-sigma_t(t_k) dt)
+    (reference ``PureRayMarching::march_transmittance``,
+    integrator.h:105-135).  n_steps is the static bound; per-ray masking
+    stops at tmax."""
+    t0, t1, hit = _medium_intervals(medium, o, d)
+
+    def body(k, T):
+        t = k * step
+        live = t < tmax
+        active = hit & (t0 <= t) & (t < t1)
+        pos = o + t * d
+        sa, ss = _medium_sigma(medium, pos, active)
+        return jnp.where(live, T * jnp.exp(-(sa + ss) * step), T)
+
+    return jax.lax.fori_loop(0, n_steps, body, jnp.ones(o.shape[:-1]))
+
+
+def render_pure_raymarch(scene: Scene, camera,
+                         cfg: RenderConfig) -> np.ndarray:
+    """Medium-agnostic single-scatter marcher with *marched* shadow/env
+    transmittance (= PureRayMarching, integrator.h:100-267) — the slowest,
+    assumption-free baseline (the reference's 'CPU-parity config #1').
+    O(primary_steps x (lights + env_samples) x shadow_steps) per pixel:
+    use small resolutions / step sizes accordingly.
+    """
+    w, h = cfg.width, cfg.height
+    step = cfg.step_size
+    t_end_max = _scene_t_end_any(scene, camera, cfg)
+    n_steps = max(1, int(math.ceil(t_end_max / step)) + 1)
+    # static bound for shadow marches: scene extent + headroom
+    shadow_steps = n_steps + 8
+    base_key = jax.random.key(cfg.seed)
+
+    def radiance(sc: Scene, ids):
+        medium = sc.medium
+        x, y = ids_to_pixels(ids, w)
+        u = (x.astype(jnp.float32) + 0.5) / w
+        v = (y.astype(jnp.float32) + 0.5) / h
+        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
+        t0, t1, hitm = _medium_intervals(medium, o, d)
+        hit_any = jnp.any(hitm, axis=-1)
+        t_end = jnp.max(jnp.where(hitm, t1, 0.0), axis=-1)
+        keys = jax.vmap(lambda a, c: path_key(base_key, a, c, 0))(x, y)
+
+        def body(k, carry):
+            big_t, rad = carry
+            t = k * step
+            live = (t < t_end) & hit_any
+            pos = o + t * d
+            active = hitm & (t0 <= t) & (t < t1)
+            sa, ss = _medium_sigma(medium, pos, active)
+
+            li = jnp.zeros_like(pos)
+            for l in range(sc.lights_p.shape[0]):
+                lp = sc.lights_p[l]
+                wi = lp - pos
+                dist = jnp.linalg.norm(wi, axis=-1)
+                wi = wi / dist[..., None]
+                tr = march_transmittance(medium, pos, wi, dist, step,
+                                         shadow_steps)
+                li = li + tr[:, None] * sc.lights_i[l] / (dist * dist)[:, None]
+
+            step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, k))(keys)
+
+            def env_one(e, acc):
+                ekeys = jax.vmap(lambda kk: jax.random.fold_in(kk, e))(
+                    step_keys)
+                xi = jax.vmap(lambda kk: jax.random.uniform(kk, (2,)))(ekeys)
+                wdir = _dir_from_xi(xi)
+                # march env transmittance to the env ray's own medium exit
+                et0, et1, ehit = _medium_intervals(medium, pos, wdir)
+                e_end = jnp.max(jnp.where(ehit, et1, 0.0), axis=-1)
+                tr = march_transmittance(medium, pos, wdir, e_end, step,
+                                         shadow_steps)
+                return acc + tr[:, None] * sc.env_color
+
+            le = jax.lax.fori_loop(0, cfg.env_samples, env_one,
+                                   jnp.zeros_like(pos))
+            le = le / max(cfg.env_samples, 1) * FOUR_PI
+
+            contrib = (big_t * ss)[:, None] * (li + le) * (step * INV_4PI)
+            rad = rad + jnp.where(live[:, None], contrib, 0.0)
+            big_t = jnp.where(live, big_t * jnp.exp(-(sa + ss) * step), big_t)
+            return big_t, rad
+
+        big_t, rad = jax.lax.fori_loop(
+            0, n_steps, body,
+            (jnp.ones(ids.shape[0]), jnp.zeros((ids.shape[0], 3))))
+        rad = rad + big_t[:, None] * sc.env_color
+        return jnp.where(hit_any[:, None], rad, sc.env_color[None, :])
+
+    img = render_chunked(scene, radiance, w * h,
+                         pick_chunk(cfg, scene.medium.n * 8))
+    return img.reshape(h, w, 3)
+
+
+def _scene_t_end_any(scene, camera, cfg) -> float:
+    """Static march bound for either medium type."""
+    w, h = cfg.width, cfg.height
+
+    def chunk_max(sc, ids):
+        x, y = ids_to_pixels(ids, w)
+        u = (x.astype(jnp.float32) + 0.5) / w
+        v = (y.astype(jnp.float32) + 0.5) / h
+        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
+        t0, t1, hitm = _medium_intervals(sc.medium, o, d)
+        t_end = jnp.max(jnp.where(hitm, t1, 0.0), axis=-1)
+        return jnp.broadcast_to(t_end[:, None], (ids.shape[0], 3))
+
+    vals = render_chunked(scene, chunk_max, w * h,
+                          pick_chunk(cfg, scene.medium.n))
+    return float(vals[:, 0].max())
+
+
 def render_raymarch_spheres(scene: Scene, camera,
                             cfg: RenderConfig) -> np.ndarray:
     """Sphere ray marcher with piecewise-constant analytic transmittance

@@ -315,10 +315,23 @@ def _bounce_call(table, rays, lights_p, lights_i, env_color,
     )(table, rays)
 
 
+# ~10 [N, blk] fp32 arrays stay live across the solver loop; keep each at
+# <= 512 KB (blk * Npad <= 2^17 elements) so the working set fits VMEM.
+_PAIR_ELEMS = 1 << 17
+MAX_PALLAS_GAUSSIANS = _PAIR_ELEMS // 128          # 1024, at blk = 128
+
+
 def auto_block(n_padded: int) -> int:
-    """Ray-block size so the ~10 live [N, blk] fp32 arrays fit in VMEM."""
-    blk = (1 << 22) // (4 * max(n_padded, 8))      # ~4 MB per array budget
+    """Ray-block size so the live [N, blk] fp32 arrays fit in VMEM."""
+    blk = _PAIR_ELEMS // max(n_padded, 8)
     return int(max(128, min(512, (blk // 128) * 128)))
+
+
+def pallas_supported_n(n: int) -> bool:
+    """Whether the fused kernel can hold n Gaussians in VMEM.  Larger sets
+    fall back to the XLA wavefront (big-N tile culling is future work)."""
+    np_ = max(8, ((n + 7) // 8) * 8)
+    return np_ <= MAX_PALLAS_GAUSSIANS
 
 
 def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,

@@ -101,3 +101,28 @@ def intersect_gaussians(gmm: GaussianMixture, origin, direction):
     """Intervals of every Gaussian along rays: (t0, t1, hit) each [...,N]."""
     a, b, c = ray_quadratics(gmm, origin, direction)
     return intersect_from_quadratics(a, b, c)
+
+
+def intersect_gaussians_whitening(gmm: GaussianMixture, origin, direction):
+    """Whitening-transform intersection variant (gaussian.h:167-205):
+    transform the ray by W = diag(1/sqrt(eigval)) R^T / R_CUT, intersect the
+    unit sphere.  Produces the same intervals as the direct quadratic (the
+    reference keeps both; the direct form is faster — PDF slide 44) and is
+    kept for cross-validation."""
+    ev = jnp.maximum(gmm.eigvals, 1e-12)                    # [N,3]
+    w = (1.0 / jnp.sqrt(ev))[:, :, None] * jnp.swapaxes(gmm.eigvecs, 1, 2) \
+        / R_CUT                                             # [N,3,3]
+    o_local = origin[..., None, :] - gmm.mean               # [...,N,3]
+    ow = jnp.einsum("nij,...nj->...ni", w, o_local)
+    dw = jnp.einsum("nij,...j->...ni", w, direction)
+    a = jnp.einsum("...ni,...ni->...n", dw, dw)
+    b = 2.0 * jnp.einsum("...ni,...ni->...n", ow, dw)
+    c = jnp.einsum("...ni,...ni->...n", ow, ow) - 1.0
+    disc = b * b - 4.0 * a * c
+    hit = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 0.0))
+    inv2a = 0.5 / jnp.maximum(a, 1e-30)
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+    hit = hit & (t1 >= 0.0)
+    return t0, t1, hit

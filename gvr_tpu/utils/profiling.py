@@ -1,0 +1,123 @@
+"""Render observability: timing spans, throughput, and profiler hooks.
+
+The reference's only instrumentation is wall-clock prints
+(tests/main.cpp:44-49, gmm.h:80-89, inverse_integrator.h:222-226).  Here:
+structured spans with Mrays/s (the north-star metric), path statistics from
+a counting trace, and optional ``jax.profiler`` trace capture for per-kernel
+timelines.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import json
+import time
+from typing import Dict, List, Optional
+
+
+@dataclasses.dataclass
+class Span:
+    name: str
+    seconds: float
+    extra: Dict
+
+
+class RenderStats:
+    """Collects named spans; prints/export a compact report."""
+
+    def __init__(self):
+        self.spans: List[Span] = []
+
+    @contextlib.contextmanager
+    def span(self, name: str, **extra):
+        t0 = time.time()
+        yield
+        self.spans.append(Span(name, time.time() - t0, extra))
+
+    def add(self, name: str, seconds: float, **extra):
+        self.spans.append(Span(name, seconds, extra))
+
+    def report(self) -> str:
+        lines = []
+        for s in self.spans:
+            kv = " ".join(f"{k}={v}" for k, v in s.extra.items())
+            lines.append(f"[gvr] {s.name}: {s.seconds:.3f}s {kv}".rstrip())
+        return "\n".join(lines)
+
+    def json(self) -> str:
+        return json.dumps([dataclasses.asdict(s) for s in self.spans])
+
+
+def mrays_per_sec(n_rays: int, seconds: float) -> float:
+    return n_rays / max(seconds, 1e-9) / 1e6
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str]):
+    """jax.profiler trace context (no-op when log_dir is None or the
+    backend doesn't support profiling, e.g. the axon tunnel)."""
+    if not log_dir:
+        yield
+        return
+    import jax
+    try:
+        with jax.profiler.trace(log_dir):
+            yield
+    except Exception:
+        yield
+
+
+def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
+    """Trace a subsample counting bounces and rays per path — the bounce
+    histogram the reference never had.  Returns dict with rays/path and
+    mean bounces (used by bench.py's honest ray accounting)."""
+    import jax
+    import jax.numpy as jnp
+    from gvr_tpu.integrators.multiscatter import mc_camera_rays
+    from gvr_tpu.ops.transmittance import tau_coeffs
+    from gvr_tpu.ops.solvers import sample_free_flight
+    from gvr_tpu.integrators.raymarch import _dir_from_xi
+
+    base_key = jax.random.key(cfg.seed)
+    n = min(sample_pixels, cfg.width * cfg.height)
+
+    @jax.jit
+    def count(sc, ids):
+        o, d, keys = mc_camera_rays(sc, camera, cfg, ids, jnp.int32(0),
+                                    base_key)
+
+        def cond(st):
+            *_, alive, bounce, _, _ = st
+            return jnp.any(alive) & (bounce < cfg.max_bounces)
+
+        def body(st):
+            o, d, keys_, alive, bounce, rays, bounces = st
+            rg = tau_coeffs(sc.medium, o, d)
+            xi = jax.vmap(lambda k: jax.random.uniform(
+                jax.random.fold_in(k, bounce), (9,)))(keys_)
+            target = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
+            t_sc, scattered = sample_free_flight(rg, target, cfg.solver,
+                                                 cfg.solver_iters)
+            rays = rays + jnp.sum(alive) + jnp.sum(alive & scattered)
+            bounces = bounces + jnp.sum(alive & scattered)
+            alive = alive & scattered
+            rr_alive = (bounce < cfg.min_scatter) | (xi[:, 5] < cfg.rr_cap)
+            alive = alive & rr_alive
+            pos = o + jnp.maximum(t_sc, 0.0)[:, None] * d
+            nd = _dir_from_xi(xi[:, 6:8])
+            return (pos, nd, keys_, alive, bounce + 1, rays, bounces)
+
+        st = (o, d, keys, jnp.ones(ids.shape[0], bool), jnp.int32(0),
+              jnp.int32(0), jnp.int32(0))
+        *_, rays, bounces = jax.lax.while_loop(cond, body, st)
+        return rays, bounces
+
+    import numpy as np
+    ids = jnp.asarray(np.linspace(0, cfg.width * cfg.height - 1, n,
+                                  dtype=np.int32))
+    rays, bounces = count(scene, ids)
+    return {
+        "rays_per_path": float(rays) / n,
+        "mean_scatter_events": float(bounces) / n,
+    }

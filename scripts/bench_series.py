@@ -1,0 +1,58 @@
+"""Mrays/sec/chip series over the reference scaling fixtures (50 -> 20k
+Gaussians), the self-established baseline BASELINE.md calls for.
+
+    python scripts/bench_series.py [--size 512] [--spp 8]
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+SCENES = ["50_random.txt", "250_random.txt", "1000_random.txt",
+          "2500_random_small.txt", "5000_random.txt", "10k_random.txt",
+          "20k_bias.txt"]
+BASE = "/root/reference/scenes/gaussians"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--spp", type=int, default=8)
+    args = ap.parse_args()
+
+    from gvr_tpu.scene.scene import load_gmm
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.integrators.multiscatter import render_multiscatter
+    from gvr_tpu.utils.profiling import path_statistics
+
+    camera = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    results = []
+    for name in SCENES:
+        path = os.path.join(BASE, name)
+        if not os.path.exists(path):
+            continue
+        scene = load_gmm(path)
+        cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp)
+        rpp = path_statistics(scene, camera, cfg)["rays_per_path"]
+        render_multiscatter(scene, camera, cfg.replace(spp=1))  # warm
+        t0 = time.time()
+        img = render_multiscatter(scene, camera, cfg)
+        dt = time.time() - t0
+        assert np.isfinite(img).all()
+        mrays = args.size * args.size * args.spp * rpp / dt / 1e6
+        row = {"scene": name, "gaussians": scene.medium.n,
+               "rays_per_path": round(rpp, 2), "seconds": round(dt, 2),
+               "mrays_per_sec": round(mrays, 3)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"series": results}))
+
+
+if __name__ == "__main__":
+    main()
