@@ -265,13 +265,16 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids, base_key,
     use_compact = 0 < cfg.candidate_k < gmm.n
 
     use_pallas = _pallas_enabled(cfg)
+    use_big = False
     if use_pallas:
         from gvr_tpu.kernels.pathtrace import (
             pack_table, bounce_step_pallas, pallas_supported_n)
-        if not pallas_supported_n(gmm.n) and cfg.pallas == "auto":
-            use_pallas = False
+        use_big = not pallas_supported_n(gmm.n)
+        if use_big:
+            from gvr_tpu.kernels.pathtrace_big import (
+                pack_table_t, bounce_step_pallas_big)
     if use_pallas:
-        table = pack_table(gmm)
+        table = pack_table_t(gmm) if use_big else pack_table(gmm)
         if static_lights is None:
             # only valid outside jit; jitted callers must pass static_lights
             static_lights = (
@@ -321,7 +324,9 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids, base_key,
         xi = jax.vmap(lambda k, bn: jax.random.uniform(
             jax.random.fold_in(k, bn), (9,)))(tkeys, bounce)
         if use_pallas:
-            t_sc, scattered, albedo, li, _ = bounce_step_pallas(
+            step_fn = bounce_step_pallas_big if use_big else \
+                bounce_step_pallas
+            t_sc, scattered, albedo, li, _ = step_fn(
                 table, o, d, xi, lights_t, inten_t, env_t,
                 solver_iters=cfg.solver_iters,
                 interpret=(cfg.pallas == "interpret"))

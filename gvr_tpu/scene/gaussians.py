@@ -200,6 +200,19 @@ class GaussianMixture:
         s_safe = jnp.where(s > 1e-25, s, 1.0)
         return jnp.clip(jnp.where(s > 1e-25, sa / s_safe, 0.0), 0.0, 1.0)
 
+    # -- spatial ordering -------------------------------------------------------
+    def morton_sorted(self) -> "GaussianMixture":
+        """Reorder Gaussians along a Morton (Z-order) curve of their means.
+
+        The mixture is order-invariant, but spatial locality makes the
+        big-N Pallas kernel's chunk culling effective: a coherent ray block
+        then touches few 256-Gaussian chunks.  This is the TPU-native
+        analog of the reference's BVH build (gmm.h:231-260): a one-time
+        spatial sort instead of a pointer hierarchy."""
+        order = morton_order(np.asarray(self.mean))
+        take = lambda x: jnp.asarray(np.asarray(x)[order])
+        return GaussianMixture(*(take(f) for f in self.tree_flatten()[0]))
+
     # -- AABBs (gaussian.h:302-319) --------------------------------------------
     def aabbs(self):
         """World AABBs at R_CUT sigma.  Returns (bmin [N,3], bmax [N,3])."""
@@ -314,6 +327,26 @@ def rodrigues_to_rotation(rod):
     eye = jnp.eye(3, dtype=rod.dtype)[None]
     return (eye + sin_ratio[:, None, None] * k
             + cos_ratio[:, None, None] * (k @ k))
+
+
+def morton_order(points: np.ndarray) -> np.ndarray:
+    """Permutation sorting 3D points along a 30-bit Z-order curve."""
+    p = np.asarray(points, np.float64)
+    lo = p.min(axis=0)
+    hi = p.max(axis=0)
+    span = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((p - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
 
 
 def inv_sigmoid(y):

@@ -128,6 +128,8 @@ def load_gmm(path: Union[str, os.PathLike],
             cov[:, 2, 2] = g[:, 8]
             gmm = GaussianMixture.from_covariances(
                 g[:, 0:3], cov, g[:, 9], g[:, 10], g[:, 11:14])
+            if gmm.n > 512:
+                gmm = gmm.morton_sorted()
             return Scene.create(gmm, lights, env_color)
     return parse_gmm(_read_text(path), env_color)
 
@@ -160,6 +162,10 @@ def parse_gmm(text: str, env_color=DEFAULT_ENV_COLOR) -> Scene:
         np.asarray(means, np.float32), np.asarray(covs, np.float32),
         np.asarray(dens, np.float32), np.asarray(albs, np.float32),
         np.asarray(emis, np.float32))
+    if gmm.n > 512:
+        # spatial locality for the big-N kernel's chunk culling; the
+        # mixture itself is order-invariant
+        gmm = gmm.morton_sorted()
     return Scene.create(gmm, lights, env_color)
 
 
@@ -192,6 +198,13 @@ def parse_smm(text: str, env_color=DEFAULT_ENV_COLOR) -> Scene:
                                np.asarray(sa, np.float32),
                                np.asarray(ss, np.float32))
     return Scene.create(smm, lights, env_color)
+
+
+def load_vdb(path: Union[str, os.PathLike]) -> Scene:
+    """Voxel volumes: declared-but-unimplemented in the reference too
+    (scene.h:21-22, 122, 144-145 — `VolumeType::VOXELS` and `load_VDB` are
+    stubs)."""
+    raise NotImplementedError("Voxel volume not supported")
 
 
 def load_scene(path: Union[str, os.PathLike],

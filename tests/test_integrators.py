@@ -27,7 +27,7 @@ ABSORB_SCENE = "g 0 1 0  0.08 0.01 0  0.06 0 0.1  2.0 0.0\n"   # albedo 0
 SCATTER_SCENE = ("l 0 4 0  30 30 30\n"
                  "g 0 1 0  0.08 0.01 0  0.06 0 0.1  1.5 0.8\n")
 CAM = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
-W = H = 32
+W = H = 24
 
 
 def closed_form_absorption(scene, cam, w, h):
@@ -52,7 +52,7 @@ def test_raymarch_pure_absorption_closed_form():
     """With albedo=0 and no lights, the marcher must reproduce
     T_total * env (analytic transmittance end to end)."""
     sc = parse_gmm(ABSORB_SCENE)
-    cfg = RenderConfig(width=W, height=H, env_samples=1, step_size=0.005)
+    cfg = RenderConfig(width=W, height=H, env_samples=1, step_size=0.01)
     img = render_raymarch_gaussians(sc, CAM, cfg)
     want = closed_form_absorption(sc, CAM, W, H)
     np.testing.assert_allclose(img, want, atol=5e-3)
@@ -62,7 +62,7 @@ def test_multiscatter_pure_absorption_statistics():
     """Albedo=0 kills paths at the first scatter, so
     E[L] = P(escape) * env = T_total * env."""
     sc = parse_gmm(ABSORB_SCENE)
-    cfg = RenderConfig(width=W, height=H, spp=256, solver=Solver.NEWTON)
+    cfg = RenderConfig(width=W, height=H, spp=144, solver=Solver.NEWTON)
     img = render_multiscatter(sc, CAM, cfg)
     want = closed_form_absorption(sc, CAM, W, H)
     err = np.abs(img - want).mean()
@@ -74,7 +74,7 @@ def test_single_scatter_matches_multiscatter_thin():
     both MC estimators must agree closely on a low-albedo scene."""
     sc = parse_gmm("l 0 4 0  30 30 30\n"
                    "g 0 1 0  0.08 0.01 0  0.06 0 0.1  0.4 0.3\n")
-    cfg = RenderConfig(width=W, height=H, spp=512)
+    cfg = RenderConfig(width=W, height=H, spp=256)
     ss = render_single_scatter(sc, CAM, cfg)
     ms = render_multiscatter(sc, CAM, cfg.replace(seed=7))
     assert np.abs(ss - ms).mean() < 0.01

@@ -1,0 +1,96 @@
+"""Pallas kernel equivalence tests (interpreter mode on the CPU mesh).
+
+Both the small-N VMEM-resident kernel and the big-N chunk-culling kernel
+must reproduce the XLA reference path: identical scatter decisions,
+tau to ~1e-4, and solver roots/albedo/Li matching away from support
+boundaries (where last-ulp root shifts are legitimate)."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gvr_tpu.scene.scene import parse_gmm
+from gvr_tpu.scene.generators import random_gaussian_scene
+from gvr_tpu.config import Solver
+from gvr_tpu.ops.transmittance import tau_coeffs, tau_total, albedo_at_from_rg
+from gvr_tpu.ops.solvers import sample_free_flight
+from gvr_tpu.integrators.multiscatter import _nee
+
+
+def _random_rays(n, key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    o = jax.random.uniform(k1, (n, 3), minval=-1.5, maxval=1.5) \
+        + jnp.array([0.0, 1.0, 1.5])
+    d = jax.random.normal(k2, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    xi = jax.random.uniform(k3, (n, 9))
+    return o, d, xi
+
+
+def _xla_reference(sc, g, o, d, xi):
+    rg = tau_coeffs(g, o, d)
+    target = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
+    t_x, sc_x = sample_free_flight(rg, target, Solver.NEWTON, 14)
+    tau_x = tau_total(rg)
+    alb_x = albedo_at_from_rg(rg, g.albedo, t_x)
+    pos = o + t_x[:, None] * d
+    li_x, _ = _nee(sc, g, pos, xi[:, 1], xi[:, 2], xi[:, 3:5])
+    return t_x, sc_x, alb_x, li_x, tau_x
+
+
+def _check(outs, refs):
+    t_p, sc_p, alb_p, li_p, tau_p = outs
+    t_x, sc_x, alb_x, li_x, tau_x = refs
+    scm = np.asarray(sc_x)
+    assert (np.asarray(sc_p) == scm).mean() > 0.995
+    np.testing.assert_allclose(np.asarray(tau_p), np.asarray(tau_x),
+                               rtol=1e-3, atol=1e-4)
+    m = scm & np.asarray(sc_p)
+    assert m.sum() > 10
+    # medians are robust against boundary-root divergence on a few rays
+    td = np.abs(np.asarray(t_p) - np.asarray(t_x))[m]
+    ad = np.abs(np.asarray(alb_p) - np.asarray(alb_x))[m]
+    ld = np.abs(np.asarray(li_p) - np.asarray(li_x))[m.nonzero()[0]]
+    assert np.median(td) < 1e-3, np.median(td)
+    assert np.median(ad) < 1e-3, np.median(ad)
+    assert np.median(ld) < 2e-2, np.median(ld)
+
+
+def test_small_kernel_matches_xla(rng):
+    from gvr_tpu.kernels.pathtrace import pack_table, bounce_step_pallas
+    sc = parse_gmm(random_gaussian_scene(120, seed=1,
+                                         diameter=(0.1, 0.4),
+                                         density=(0.5, 2.0)))
+    g = sc.medium
+    o, d, xi = _random_rays(512, jax.random.key(0))
+    outs = bounce_step_pallas(pack_table(g), o, d, xi, sc.lights_p,
+                              sc.lights_i, sc.env_color, interpret=True)
+    _check(outs, _xla_reference(sc, g, o, d, xi))
+
+
+def test_big_kernel_matches_xla(rng):
+    from gvr_tpu.kernels.pathtrace_big import (pack_table_t,
+                                               bounce_step_pallas_big)
+    sc = parse_gmm(random_gaussian_scene(600, seed=2,
+                                         diameter=(0.05, 0.2),
+                                         density=(0.5, 2.0)))
+    g = sc.medium.morton_sorted()
+    sc = sc.with_medium(g)
+    o, d, xi = _random_rays(256, jax.random.key(1))
+    outs = bounce_step_pallas_big(pack_table_t(g), o, d, xi, sc.lights_p,
+                                  sc.lights_i, sc.env_color, interpret=True)
+    _check(outs, _xla_reference(sc, g, o, d, xi))
+
+
+def test_morton_sort_is_order_invariant(rng):
+    sc = parse_gmm(random_gaussian_scene(200, seed=3))
+    g = sc.medium
+    gs = g.morton_sorted()
+    o, d, xi = _random_rays(64, jax.random.key(2))
+    a = tau_total(tau_coeffs(g, o, d))
+    b = tau_total(tau_coeffs(gs, o, d))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
