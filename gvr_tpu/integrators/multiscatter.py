@@ -380,12 +380,25 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids, base_key,
     return acc / cfg.spp
 
 
+def tile_order(w: int, h: int, tw: int = 16, th: int = 8) -> np.ndarray:
+    """Pixel ids permuted into tw x th screen tiles, so consecutive
+    128-ray kernel blocks are spatially coherent — the big-N kernel's
+    chunk culling then sees narrow ray bundles instead of scanline sweeps."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    key = ((ys // th).astype(np.int64) * ((w + tw - 1) // tw)
+           + (xs // tw)) * (tw * th) \
+        + (ys % th) * tw + (xs % tw)
+    return np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
+
+
 def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
                         progress=False) -> np.ndarray:
     """Full MC render: all spp per pixel in one wavefront dispatch per
-    pixel chunk (path regeneration keeps lanes busy across samples)."""
+    pixel chunk (path regeneration keeps lanes busy across samples).
+    Pixels are traced in tile order for ray-block spatial coherence."""
     w, h = cfg.width, cfg.height
     base_key = jax.random.key(cfg.seed)
+    order = tile_order(w, h)
 
     static_lights = None
     if _pallas_enabled(cfg):
@@ -400,11 +413,13 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
     chunk = pick_chunk(cfg, scene.medium.n)
     acc = np.zeros((w * h, 3), np.float32)
     for start in range(0, w * h, chunk):
-        ids = np.arange(start, start + chunk, dtype=np.int32)
-        ids = np.minimum(ids, w * h - 1)
-        vals = np.asarray(fn(scene, jnp.asarray(ids)))
         stop = min(start + chunk, w * h)
-        acc[start:stop] = vals[: stop - start]
+        ids = order[start:stop]
+        if len(ids) < chunk:
+            ids = np.concatenate([ids, np.full(chunk - len(ids), ids[-1],
+                                               np.int32)])
+        vals = np.asarray(fn(scene, jnp.asarray(ids)))
+        acc[order[start:stop]] = vals[: stop - start]
         if progress:
             print(f"  pixels {stop}/{w * h}")
     return acc.reshape(h, w, 3)

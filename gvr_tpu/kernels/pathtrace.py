@@ -312,13 +312,18 @@ def _bounce_call(table, rays, lights_p, lights_i, env_color,
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(table, rays)
 
 
-# ~10 [N, blk] fp32 arrays stay live across the solver loop; keep each at
-# <= 512 KB (blk * Npad <= 2^17 elements) so the working set fits VMEM.
+# ~10 [N, blk] fp32 arrays stay live across the solver loop plus Mosaic
+# temporaries (~2-3x on top).  v5e accepts vmem_limit_bytes well above the
+# 16 MB default scoped limit (probed up to 100 MB), so the kernel requests
+# 64 MB and sizes blocks for ~0.5 MB per live array.
 _PAIR_ELEMS = 1 << 17
-MAX_PALLAS_GAUSSIANS = _PAIR_ELEMS // 128          # 1024, at blk = 128
+_VMEM_LIMIT = 64 * 1024 * 1024
+MAX_PALLAS_GAUSSIANS = 2048
 
 
 def auto_block(n_padded: int) -> int:

@@ -46,8 +46,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 G = 256              # gaussians per streamed chunk
-CAP_CHUNKS = 12      # compacted-chunk capacity per ray block
-BLK = 128            # rays per block
+
+
+def plan(n_chunks: int):
+    """(blk, cap) for a scene: blocks of 128 rays with a 24-chunk scratch
+    for mid-size scenes; 64-ray blocks with a full-coverage scratch for
+    10k-20k scenes (no overflow possible, still VMEM-resident and culled
+    for coherent blocks).  Caps chosen against the ~100 MB VMEM ceiling."""
+    if n_chunks <= 24:
+        return 128, max(n_chunks, 1)
+    return 64, min(n_chunks, 96)
 
 
 def pack_table_t(gmm: GaussianMixture):
@@ -120,7 +128,7 @@ def _chunk_quants(tabc_ref, rays_ref):
 
 
 def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
-                 n_chunks):
+                 n_chunks, blk, cap):
     def kernel(tabc_ref, rays_ref, out_ref,
                s_sa, s_zoff, s_peak, s_pref, s_erflo, s_taui, s_t0, s_t1,
                s_alb, s_scal, cnt_ref):
@@ -143,7 +151,7 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
         any_hit = jnp.any(ok)
         count = cnt_ref[0]
 
-        @pl.when(any_hit & (count < CAP_CHUNKS))
+        @pl.when(any_hit & (count < cap))
         def _():
             off = count * G
             s_sa[:, pl.ds(off, G)] = sa
@@ -157,7 +165,7 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
             s_alb[:, pl.ds(off, G)] = alb
             cnt_ref[0] = count + 1
 
-        @pl.when(any_hit & (count >= CAP_CHUNKS))
+        @pl.when(any_hit & (count >= cap))
         def _():
             # overflow: keep escape probabilities exact via the extra tau
             s_scal[:, 0:1] = s_scal[:, 0:1] + jnp.sum(tau_i, axis=1,
@@ -382,12 +390,13 @@ def _chunk_quants_dir(tabc_ref, ox, oy, oz, dx, dy, dz):
 def _big_call(table_t, rays, lights_p, lights_i, env_color,
               solver_iters: int, interpret: bool):
     n_chunks = table_t.shape[1] // G
+    blk, cap_chunks = plan(n_chunks)
     b = rays.shape[0]
-    n_blocks = b // BLK
-    cap = CAP_CHUNKS * G
+    n_blocks = b // blk
+    cap = cap_chunks * G
 
     kernel = _make_kernel(lights_p, lights_i, env_color, solver_iters,
-                          len(lights_p), n_chunks)
+                          len(lights_p), n_chunks, blk, cap_chunks)
     stage1 = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, 128), jnp.float32),
@@ -396,19 +405,20 @@ def _big_call(table_t, rays, lights_p, lights_i, env_color,
             in_specs=[
                 pl.BlockSpec((16, G), lambda i, c: (0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLK, 128), lambda i, c: (i, 0),
+                pl.BlockSpec((blk, 128), lambda i, c: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((BLK, 128), lambda i, c: (i, 0),
+            out_specs=pl.BlockSpec((blk, 128), lambda i, c: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((BLK, cap), jnp.float32)
+            scratch_shapes=[pltpu.VMEM((blk, cap), jnp.float32)
                             for _ in range(9)]
-            + [pltpu.VMEM((BLK, 128), jnp.float32),
+            + [pltpu.VMEM((blk, 128), jnp.float32),
                pltpu.SMEM((2,), jnp.int32)],
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(table_t, rays)
 
     nee_kernel = _make_nee_kernel(env_color, n_chunks)
@@ -420,16 +430,17 @@ def _big_call(table_t, rays, lights_p, lights_i, env_color,
             in_specs=[
                 pl.BlockSpec((16, G), lambda i, c: (0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLK, 128), lambda i, c: (i, 0),
+                pl.BlockSpec((blk, 128), lambda i, c: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((BLK, 128), lambda i, c: (i, 0),
+            out_specs=pl.BlockSpec((blk, 128), lambda i, c: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((BLK, 128), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((blk, 128), jnp.float32)],
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(table_t, stage1)
     return stage1, li
 
@@ -439,7 +450,8 @@ def bounce_step_pallas_big(table_t, o, d, xi, lights_p, lights_i, env_color,
     """One fused bounce for big Gaussian sets.  Same contract as
     pathtrace.bounce_step_pallas; table_t from pack_table_t."""
     bsz = o.shape[0]
-    pad = (-bsz) % BLK
+    blk, _ = plan(table_t.shape[1] // G)
+    pad = (-bsz) % blk
     if pad:
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
