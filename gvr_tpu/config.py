@@ -57,7 +57,7 @@ class RenderConfig:
     step_size: float = 0.01        # ray-march step (deterministic integrators)
     env_samples: int = 20          # env direction samples (ray marchers)
     solver: Solver = Solver.ANALYTIC_NEWTON
-    solver_iters: int = 14         # fixed Newton/bisection trip count
+    solver_iters: int = 12         # fixed Newton/bisection trip count
     ray_chunk: int = 1 << 16       # rays per jitted chunk (memory bound)
     seed: int = 0                  # base RNG seed
     # per-ray candidate compaction: the free-flight solver runs on the

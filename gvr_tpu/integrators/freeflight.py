@@ -22,12 +22,12 @@ from gvr_tpu.integrators.multiscatter import _nee, mc_camera_rays
 from gvr_tpu.integrators.raymarch import INV_4PI
 
 
-def single_scatter_radiance(scene: Scene, origin, direction, keys,
-                            cfg: RenderConfig):
+def single_scatter_radiance(scene: Scene, origin, direction, rng_ids,
+                            cfg: RenderConfig, sample=0):
     gmm = scene.medium
 
-    xi = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 0),
-                                               (9,)))(keys)
+    from gvr_tpu.ops.sampling import path_uniforms
+    xi = path_uniforms(rng_ids, sample, 0, 9, cfg.seed)
     rg = tau_coeffs(gmm, origin, direction)
     if 0 < cfg.candidate_k < gmm.n:
         rg, alb_k, _ = compact_candidates(rg, gmm.albedo, cfg.candidate_k)
@@ -50,11 +50,10 @@ def single_scatter_radiance(scene: Scene, origin, direction, keys,
 def render_single_scatter(scene: Scene, camera, cfg: RenderConfig,
                           progress=False) -> np.ndarray:
     w, h = cfg.width, cfg.height
-    base_key = jax.random.key(cfg.seed)
 
     def radiance(sc: Scene, ids, si):
-        o, d, keys = mc_camera_rays(sc, camera, cfg, ids, si, base_key)
-        return single_scatter_radiance(sc, o, d, keys, cfg)
+        o, d, rng_ids = mc_camera_rays(sc, camera, cfg, ids, si)
+        return single_scatter_radiance(sc, o, d, rng_ids, cfg, sample=si)
 
     fn = jax.jit(radiance)
     chunk = pick_chunk(cfg, scene.medium.n)

@@ -14,9 +14,11 @@ evaluation per bounce: the light/env choice picks the direction *first*,
 then a single closed-form transmittance is evaluated (the reference computes
 the same quantity through a BVH walk, gmm.h:517-578).
 
-RNG: per-ray threefry keys folded with the bounce index; 9 uniforms per
-bounce (target tau, NEE choice, light index, env direction x2, RR, scatter
-direction x2, uniform-solver sample).
+RNG: counter-hash uniforms keyed by (pixel id, sample, bounce)
+(ops/sampling.path_uniforms) — 9 per bounce (target tau, NEE choice, light
+index, env direction x2, RR, scatter direction x2, uniform-solver sample).
+Chunk-layout invariant and shard reproducible, like the reference's
+derive_path_seed + PCG32 (rng.h).
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ from gvr_tpu.ops.transmittance import (
     compact_candidates, albedo_at_from_rg)
 from gvr_tpu.ops.solvers import (
     sample_free_flight, solve_conditional_free_flight)
-from gvr_tpu.ops.sampling import path_key
+from gvr_tpu.ops.sampling import path_uniforms
 from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
 from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
 
@@ -74,16 +76,16 @@ def _nee(sc: Scene, gmm, pos, xi_choice, xi_light, xi_env2):
     return li, float(num_lights + 1)
 
 
-def multiscatter_radiance(scene: Scene, origin, direction, keys,
-                          cfg: RenderConfig):
+def multiscatter_radiance(scene: Scene, origin, direction, rng_ids,
+                          cfg: RenderConfig, sample=0):
     """Trace a batch of rays to completion.  origin/direction [B,3],
-    keys [B] per-path PRNG keys.  Returns radiance [B,3]."""
+    rng_ids [B] int32 per-path stream ids (pixel ids for camera rays).
+    Returns radiance [B,3]."""
     gmm = scene.medium
     b = origin.shape[0]
 
-    def uniforms(keys, bounce, n=9):
-        ks = jax.vmap(lambda k: jax.random.fold_in(k, bounce))(keys)
-        return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(ks)
+    def uniforms(_ids, bounce, n=9):
+        return path_uniforms(_ids, sample, bounce, n, cfg.seed)
 
     def cond(state):
         o, d, thr, rad, alive, bounce = state
@@ -100,7 +102,7 @@ def multiscatter_radiance(scene: Scene, origin, direction, keys,
             rg, alb_k, _ = compact_candidates(rg, gmm.albedo, cfg.candidate_k)
         else:
             alb_k = gmm.albedo
-        xi = uniforms(keys, bounce)                          # [B,9]
+        xi = uniforms(rng_ids, bounce)                       # [B,9]
 
         # free-flight distance by regular tracking (integrator.h:599-614)
         target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
@@ -145,8 +147,9 @@ def multiscatter_radiance(scene: Scene, origin, direction, keys,
     return rad
 
 
-def multiscatter_radiance_diff(scene: Scene, origin, direction, keys,
-                               cfg: RenderConfig, n_bounces: int = 4):
+def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
+                               cfg: RenderConfig, n_bounces: int = 4,
+                               sample=0, seed: int = 0):
     """Differentiable multi-scatter estimator for inverse rendering.
 
     Differences from the forward flagship (both documented, both unbiased):
@@ -166,8 +169,7 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, keys,
     b = origin.shape[0]
 
     def uniforms(bounce, n=8):
-        ks = jax.vmap(lambda k: jax.random.fold_in(k, bounce))(keys)
-        return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(ks)
+        return path_uniforms(rng_ids, sample, bounce, n, seed)
 
     def body(state, bounce):
         o, d, thr, rad, alive = state
@@ -212,22 +214,20 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, keys,
     return rad
 
 
-def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx,
-                   base_key):
+def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
     """Stratified primary rays for MC integrators (integrator.h:557-570):
-    n = int(sqrt(spp)); cell (si % n, si // n); jitter from the path key."""
+    n = int(sqrt(spp)); cell (si % n, si // n); hash-RNG jitter (the
+    0x7FFF0000 bounce tag reserves the jitter stream)."""
     w, h = cfg.width, cfg.height
     x, y = ids_to_pixels(ids, w)
-    keys = jax.vmap(lambda a, b: path_key(base_key, a, b, sample_idx))(x, y)
-    jkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5eed))(keys)
-    xi = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(jkeys)
+    xi = path_uniforms(ids, sample_idx, 0x7FFF0000, 2, cfg.seed)
     n = max(int(cfg.spp ** 0.5), 1)
     sx = (sample_idx % n).astype(jnp.float32)
     sy = (sample_idx // n).astype(jnp.float32)
     u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n) / w
     v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n) / h
     o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
-    return o, d, keys
+    return o, d, ids
 
 
 def _pallas_enabled(cfg: RenderConfig) -> bool:
@@ -242,7 +242,7 @@ def _pallas_enabled(cfg: RenderConfig) -> bool:
         return False
 
 
-def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids, base_key,
+def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
                      static_lights=None):
     """All-spp radiance for a chunk of pixels with *path regeneration*:
     one persistent lane per pixel; when a path terminates (escape or RR),
@@ -286,43 +286,40 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids, base_key,
         lights_t, inten_t, env_t = static_lights
         w_ne_pallas = float(len(lights_t) + 1) if lights_t else 1.0
 
+    # counter-based hash RNG keyed by (pixel, sample, bounce) — see
+    # ops/sampling.path_uniforms.  0x7FFF0000 tags the sub-pixel jitter
+    # draw so it never collides with a bounce index.
     def make_ray(sample_idx):
-        keys = jax.vmap(lambda a, c, s: path_key(base_key, a, c, s)
-                        )(x, y, sample_idx)
-        jkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5eed))(keys)
-        xi = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(jkeys)
+        xi = path_uniforms(ids, sample_idx, 0x7FFF0000, 2, cfg.seed)
         sx = (sample_idx % n_strat).astype(jnp.float32)
         sy = (sample_idx // n_strat).astype(jnp.float32)
         u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n_strat) / w
         v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n_strat) / h
         o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
-        # carry raw key data in the loop state (typed key arrays can't be
-        # jnp.where-selected)
-        return o, d, jax.random.key_data(keys)
+        return o, d
 
     def cond(state):
-        o, d, thr, acc, keys, alive, sample, bounce, it = state
+        o, d, thr, acc, alive, sample, bounce, it = state
         return jnp.any(alive | (sample < cfg.spp)) & (
             it < cfg.spp * cfg.max_bounces + cfg.max_bounces)
 
     def body(state):
-        o, d, thr, acc, keys, alive, sample, bounce, it = state
+        o, d, thr, acc, alive, sample, bounce, it = state
 
         # --- regenerate dead lanes that still have samples to trace ---
         regen = ~alive & (sample < cfg.spp)
-        o_n, d_n, keys_n = make_ray(jnp.where(regen, sample, 0))
+        o_n, d_n = make_ray(jnp.where(regen, sample, 0))
         o = jnp.where(regen[:, None], o_n, o)
         d = jnp.where(regen[:, None], d_n, d)
-        keys = jnp.where(regen[:, None], keys_n, keys)
-        tkeys = jax.vmap(jax.random.wrap_key_data)(keys)
         thr = jnp.where(regen[:, None], 1.0, thr)
         bounce = jnp.where(regen, 0, bounce)
         sample = jnp.where(regen, sample + 1, sample)
         alive = alive | regen
 
         # --- one bounce step (identical math to multiscatter_radiance) ---
-        xi = jax.vmap(lambda k, bn: jax.random.uniform(
-            jax.random.fold_in(k, bn), (9,)))(tkeys, bounce)
+        # current path's sample index is sample-1 (incremented at regen)
+        xi = path_uniforms(ids, jnp.maximum(sample, 1) - 1, bounce, 9,
+                           cfg.seed)
         if use_pallas:
             step_fn = bounce_step_pallas_big if use_big else \
                 bounce_step_pallas
@@ -367,16 +364,13 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids, base_key,
         o = jnp.where(alive_n[:, None], pos, o)
         d = jnp.where(alive_n[:, None], new_d, d)
         thr = jnp.where(alive_n[:, None], thr_n, thr)
-        return (o, d, thr, acc, keys, alive_n, sample,
-                bounce + 1, it + 1)
+        return (o, d, thr, acc, alive_n, sample, bounce + 1, it + 1)
 
     zeros3 = jnp.zeros((b, 3))
-    keys0 = jax.random.key_data(
-        jax.vmap(lambda a, c: path_key(base_key, a, c, 0))(x, y))
-    state = (zeros3, jnp.ones((b, 3)), jnp.ones((b, 3)), zeros3, keys0,
+    state = (zeros3, jnp.ones((b, 3)), jnp.ones((b, 3)), zeros3,
              jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
              jnp.zeros(b, jnp.int32), jnp.int32(0))
-    *_, acc, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    *_, acc, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return acc / cfg.spp
 
 
@@ -397,7 +391,6 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
     pixel chunk (path regeneration keeps lanes busy across samples).
     Pixels are traced in tile order for ray-block spatial coherence."""
     w, h = cfg.width, cfg.height
-    base_key = jax.random.key(cfg.seed)
     order = tile_order(w, h)
 
     static_lights = None
@@ -409,7 +402,7 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
                   for r in np.asarray(scene.lights_i)),
             tuple(float(v) for v in np.asarray(scene.env_color)))
     fn = jax.jit(lambda sc, ids: wavefront_pixels(sc, camera, cfg, ids,
-                                                  base_key, static_lights))
+                                                  static_lights))
     chunk = pick_chunk(cfg, scene.medium.n)
     acc = np.zeros((w * h, 3), np.float32)
     for start in range(0, w * h, chunk):

@@ -34,7 +34,6 @@ from gvr_tpu.scene.gaussians import GaussianMixture
 from gvr_tpu.cameras import pixel_center_uv
 from gvr_tpu.integrators.multiscatter import (
     multiscatter_radiance_diff, render_multiscatter)
-from gvr_tpu.ops.sampling import path_key
 from gvr_tpu.parallel.sharding import (
     make_mesh, sharded_value_and_grad, shard_rays, RAY_AXIS)
 
@@ -46,40 +45,59 @@ class FitState:
     iteration: int
 
 
-def fit_loss(params, scene_template: Scene, origin, direction, keys, target,
-             n_bounces: int = 4, spp: int = 1, loss: str = "l1"):
+def fit_loss(params, scene_template: Scene, origin, direction, rng_ids,
+             target, n_bounces: int = 4, spp: int = 1, loss: str = "l2_dual",
+             seed=0):
     """Loss between the differentiable estimate and target radiance for a
-    ray batch.  'l1' matches the reference (inverse_integrator.h:20-29);
-    'l2' is smooth (useful for gradient checks and often better-behaved)."""
+    ray batch.  ``seed`` may be traced (e.g. the iteration index) to refresh
+    the MC streams every optimizer step.
+
+    * 'l2_dual' (default): dual-buffer L2 — two independent MC estimates
+      x1, x2; gradient of mean((x1-t) sg(x2-t)) is an *unbiased* estimate of
+      grad (E[x]-t)^2.  Naive L1/L2 of a noisy estimator is biased toward
+      variance reduction (the optimizer learns to dim densities to quiet the
+      render rather than match it) — this is the standard fix.
+    * 'l1' matches the reference's pixel loss (inverse_integrator.h:20-29);
+      'l2' plain — both fine for high-spp/low-noise settings and used by
+      the gradient-check tests.
+    """
     gmm = GaussianMixture.from_parameters(params)
     scene = scene_template.with_medium(gmm)
 
-    def one_sample(si):
-        ks = jax.vmap(lambda k: jax.random.fold_in(k, si))(keys)
-        return multiscatter_radiance_diff(scene, origin, direction, ks,
-                                          None, n_bounces=n_bounces)
+    def render(si):
+        return multiscatter_radiance_diff(scene, origin, direction, rng_ids,
+                                          None, n_bounces=n_bounces,
+                                          sample=si, seed=seed)
 
-    rad = jnp.mean(jax.vmap(one_sample)(jnp.arange(spp)), axis=0)
+    if loss == "l2_dual":
+        x1 = jnp.mean(jax.vmap(render)(jnp.arange(spp) * 2), axis=0)
+        x2 = jnp.mean(jax.vmap(render)(jnp.arange(spp) * 2 + 1), axis=0)
+        e1 = x1 - target
+        e2 = x2 - target
+        return 0.5 * jnp.mean(e1 * jax.lax.stop_gradient(e2)
+                              + jax.lax.stop_gradient(e1) * e2)
+
+    rad = jnp.mean(jax.vmap(render)(jnp.arange(spp)), axis=0)
     err = rad - target
     if loss == "l2":
         return jnp.mean(err * err)
     return jnp.mean(jnp.abs(err))
 
 
-def _pixel_rays(camera, width, height, ids, key):
+def _pixel_rays(camera, width, height, ids):
     x = ids % width
     y = ids // width
     u = (x.astype(jnp.float32) + 0.5) / width
     v = (y.astype(jnp.float32) + 0.5) / height
     o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
-    keys = jax.vmap(lambda a, b: path_key(key, a, b, 0))(x, y)
-    return o, d, keys
+    return o, d, ids
 
 
 def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
                   cfg: FitConfig = FitConfig(),
                   batch_pixels: int = 4096,
                   n_bounces: int = 4,
+                  spp: int = 2,
                   mesh=None,
                   log: Callable = print,
                   save_snapshot: Optional[Callable] = None) -> Scene:
@@ -96,30 +114,31 @@ def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
     batch_pixels = shard_rays(batch_pixels, n_dev)
     target_flat = jnp.asarray(target_img.reshape(-1, 3), jnp.float32)
 
-    def loss_fn(p, template, o, d, keys, tgt):
-        return fit_loss(p, template, o, d, keys, tgt, n_bounces=n_bounces)
+    def loss_fn(p, template, o, d, rng_ids, tgt, seed):
+        return fit_loss(p, template, o, d, rng_ids, tgt,
+                        n_bounces=n_bounces, spp=spp, seed=seed)
 
     vg = sharded_value_and_grad(loss_fn, mesh)
 
     @jax.jit
-    def step(p, opt_state, template, o, d, keys, tgt):
-        loss, grads = vg(p, template, o, d, keys, tgt)
+    def step(p, opt_state, template, o, d, rng_ids, tgt, seed):
+        loss, grads = vg(p, template, o, d, rng_ids, tgt, seed)
         updates, opt_state = optimizer.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
     rng = np.random.default_rng(0)
-    base_key = jax.random.key(1234)
     t0 = time.time()
     os.makedirs(cfg.out_dir, exist_ok=True)
 
     for it in range(cfg.max_iters):
         ids = jnp.asarray(
             rng.integers(0, w * h, batch_pixels, dtype=np.int32))
-        key_it = jax.random.fold_in(base_key, it)
-        o, d, keys = _pixel_rays(camera, w, h, ids, key_it)
+        o, d, rng_ids = _pixel_rays(camera, w, h, ids)
         tgt = target_flat[ids]
+        # per-iteration seed as a (shardable) per-ray array
+        seed_arr = jnp.full(batch_pixels, it, jnp.uint32)
         params, opt_state, loss = step(params, opt_state, scene_init,
-                                       o, d, keys, tgt)
+                                       o, d, rng_ids, tgt, seed_arr)
 
         if it % cfg.save_every == 0:
             log(f"[fit] iter {it} loss {float(loss):.5f} "

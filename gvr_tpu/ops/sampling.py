@@ -13,6 +13,39 @@ import jax
 import jax.numpy as jnp
 
 
+def _mix32(x):
+    """splitmix32 finalizer: full-avalanche 32-bit mix."""
+    x = x + jnp.uint32(0x9E3779B9)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x21F0AAAD)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x735A2D97)
+    return x ^ (x >> 15)
+
+
+def path_uniforms(pixel_id, sample, bounce, n: int, seed: int = 0):
+    """[..., n] uniforms in [0,1) from a counter-based hash keyed by
+    (pixel, sample, bounce, slot) — the same determinism contract as the
+    reference's derive_path_seed + PCG32 (rng.h:20-57): independent of
+    batching/chunk layout, reproducible across shards.
+
+    Used in the render hot loop: vmapped threefry costs ~10000x more on
+    the TPU backend; two splitmix32 rounds give MC-grade avalanche at a
+    handful of integer VPU ops per draw."""
+    pid = pixel_id.astype(jnp.uint32)
+    s = jnp.asarray(sample).astype(jnp.uint32)
+    b = jnp.asarray(bounce).astype(jnp.uint32)
+    if isinstance(seed, int):
+        seed = seed & 0xFFFFFFFF
+    sd = jnp.asarray(seed).astype(jnp.uint32)
+    base = _mix32(pid * jnp.uint32(0x85EBCA6B)
+                  ^ (s * jnp.uint32(0xC2B2AE35))
+                  ^ _mix32(sd))
+    base = _mix32(base ^ (b * jnp.uint32(0x27D4EB2F)))
+    cols = [_mix32(base ^ jnp.uint32(0x165667B1 * (i + 1)))
+            for i in range(n)]
+    u = jnp.stack(cols, axis=-1)
+    return u.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+
+
 def path_key(base_key, x, y, sample):
     """Per-path key from pixel coords + sample index
     (counterpart of derive_path_seed, rng.h:52-57)."""

@@ -74,28 +74,29 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
     mean bounces (used by bench.py's honest ray accounting)."""
     import jax
     import jax.numpy as jnp
-    from gvr_tpu.integrators.multiscatter import mc_camera_rays
     from gvr_tpu.ops.transmittance import tau_coeffs
     from gvr_tpu.ops.solvers import sample_free_flight
+    from gvr_tpu.ops.sampling import path_uniforms
     from gvr_tpu.integrators.raymarch import _dir_from_xi
 
-    base_key = jax.random.key(cfg.seed)
     n = min(sample_pixels, cfg.width * cfg.height)
 
     @jax.jit
     def count(sc, ids):
-        o, d, keys = mc_camera_rays(sc, camera, cfg, ids, jnp.int32(0),
-                                    base_key)
+        x = ids % cfg.width
+        y = ids // cfg.width
+        u = (x.astype(jnp.float32) + 0.5) / cfg.width
+        v = (y.astype(jnp.float32) + 0.5) / cfg.height
+        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
 
         def cond(st):
             *_, alive, bounce, _, _ = st
             return jnp.any(alive) & (bounce < cfg.max_bounces)
 
         def body(st):
-            o, d, keys_, alive, bounce, rays, bounces = st
+            o, d, ids_, alive, bounce, rays, bounces = st
             rg = tau_coeffs(sc.medium, o, d)
-            xi = jax.vmap(lambda k: jax.random.uniform(
-                jax.random.fold_in(k, bounce), (9,)))(keys_)
+            xi = path_uniforms(ids_, 0, bounce, 9, cfg.seed)
             target = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
             t_sc, scattered = sample_free_flight(rg, target, cfg.solver,
                                                  cfg.solver_iters)
@@ -106,9 +107,9 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
             alive = alive & rr_alive
             pos = o + jnp.maximum(t_sc, 0.0)[:, None] * d
             nd = _dir_from_xi(xi[:, 6:8])
-            return (pos, nd, keys_, alive, bounce + 1, rays, bounces)
+            return (pos, nd, ids_, alive, bounce + 1, rays, bounces)
 
-        st = (o, d, keys, jnp.ones(ids.shape[0], bool), jnp.int32(0),
+        st = (o, d, ids, jnp.ones(ids.shape[0], bool), jnp.int32(0),
               jnp.int32(0), jnp.int32(0))
         *_, rays, bounces = jax.lax.while_loop(cond, body, st)
         return rays, bounces

@@ -4,6 +4,9 @@ Gaussians), the self-established baseline BASELINE.md calls for.
     python scripts/bench_series.py [--size 512] [--spp 8]
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import math

@@ -7,6 +7,9 @@ before/after, and writes a turntable GIF of the fitted scene.
     python scripts/fit_demo.py [--scene .../2g_altered.txt] [--iters 300]
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import math
 import os

@@ -27,12 +27,12 @@ def _setup(w=12, h=12, n_bounces=2, loss_kind="l1"):
     scene = parse_gmm(SCENE)
     params = scene.medium.pack_parameters()
     ids = jnp.arange(w * h, dtype=jnp.int32)
-    o, d, keys = _pixel_rays(CAM, w, h, ids, jax.random.key(3))
+    o, d, rng_ids = _pixel_rays(CAM, w, h, ids)
     target = jnp.full((w * h, 3), 0.4, jnp.float32)
 
     def loss(p):
-        return fit_loss(p, scene, o, d, keys, target, n_bounces=n_bounces,
-                        loss=loss_kind)
+        return fit_loss(p, scene, o, d, rng_ids, target,
+                        n_bounces=n_bounces, loss=loss_kind)
 
     return scene, params, loss
 
@@ -82,32 +82,47 @@ def test_sfd_agrees_in_direction():
     assert cos > 0.4, cos
 
 
-def test_short_fit_reduces_loss(tmp_path):
-    """Fit a perturbed scene back toward a rendered target; loss must drop."""
+def test_short_fit_improves_render(tmp_path):
+    """Fit a perturbed scene back toward a rendered target; the fitted
+    scene's *render* must get closer to the true scene's render (the
+    reference's own image-loss criterion; raw parameter recovery is
+    ill-posed — density/shape trade off under the image likelihood)."""
+    from gvr_tpu.integrators.multiscatter import (multiscatter_radiance_diff,
+                                                  render_multiscatter)
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.utils.image import psnr
+
     scene_true = parse_gmm(SCENE)
     w = h = 16
-    # target: the differentiable estimator's own render of the true scene
     ids = jnp.arange(w * h, dtype=jnp.int32)
-    o, d, keys = _pixel_rays(CAM, w, h, ids, jax.random.key(7))
-    from gvr_tpu.integrators.multiscatter import multiscatter_radiance_diff
-    target = np.asarray(multiscatter_radiance_diff(
-        scene_true, o, d, keys, None, n_bounces=2)).reshape(h, w, 3)
+    o, d, rng_ids = _pixel_rays(CAM, w, h, ids)
+    # low-noise target: average independent estimator runs (decorrelated
+    # from the fit's seed=it streams)
+    f = jax.jit(lambda si: multiscatter_radiance_diff(
+        scene_true, o, d, rng_ids, None, n_bounces=2, sample=si,
+        seed=987654321))
+    target = np.mean([np.asarray(f(jnp.int32(si))) for si in range(32)],
+                     axis=0).reshape(h, w, 3)
 
-    # perturb parameters
     p = np.asarray(scene_true.medium.pack_parameters()).copy()
     rng = np.random.default_rng(5)
     p += rng.normal(0, 0.08, p.shape).astype(np.float32)
     scene_init = scene_true.with_medium(GaussianMixture.from_parameters(
         jnp.asarray(p)))
 
-    losses = []
-    cfg = FitConfig(max_iters=40, save_every=10, lr=2e-2,
+    cfg = FitConfig(max_iters=250, save_every=100, lr=5e-3,
                     checkpoint_every=0, out_dir=str(tmp_path))
-    fitted = fit_gaussians(
-        scene_init, CAM, target, cfg, batch_pixels=w * h, n_bounces=2,
-        log=lambda msg: losses.append(float(msg.split("loss ")[1].split()[0])))
-    assert len(losses) >= 3
-    assert losses[-1] < losses[0] * 0.75, losses
+    fitted = fit_gaussians(scene_init, CAM, target, cfg,
+                           batch_pixels=w * h, n_bounces=2, spp=4,
+                           log=lambda msg: None)
+
+    rc = RenderConfig(width=w, height=h, spp=256)
+    img_true = render_multiscatter(scene_true, CAM, rc)
+    img_init = render_multiscatter(scene_init, CAM, rc)
+    img_fit = render_multiscatter(fitted, CAM, rc)
+    p0 = psnr(img_init, img_true)
+    p1 = psnr(img_fit, img_true)
+    assert p1 > p0 + 2.0, (p0, p1)   # observed: 33.8 -> 39.1 dB
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -33,14 +33,14 @@ def test_sharded_render_matches_single_device(mesh):
     cfg = RenderConfig(width=16, height=16, spp=1)
     w = h = 16
     ids = jnp.arange(w * h, dtype=jnp.int32)
-    o, d, keys = _pixel_rays(CAM, w, h, ids, jax.random.key(0))
+    o, d, rng_ids = _pixel_rays(CAM, w, h, ids)
 
-    def radiance(sc, o, d, keys):
-        return multiscatter_radiance(sc, o, d, keys, cfg)
+    def radiance(sc, o, d, rng_ids):
+        return multiscatter_radiance(sc, o, d, rng_ids, cfg)
 
-    single = np.asarray(jax.jit(radiance)(scene, o, d, keys))
+    single = np.asarray(jax.jit(radiance)(scene, o, d, rng_ids))
     sharded = np.asarray(
-        jax.jit(sharded_render_fn(radiance, mesh))(scene, o, d, keys))
+        jax.jit(sharded_render_fn(radiance, mesh))(scene, o, d, rng_ids))
     np.testing.assert_allclose(sharded, single, atol=2e-6)
 
 
@@ -49,16 +49,16 @@ def test_sharded_grads_match_unsharded(mesh):
     params = scene.medium.pack_parameters()
     w = h = 16
     ids = jnp.arange(w * h, dtype=jnp.int32)
-    o, d, keys = _pixel_rays(CAM, w, h, ids, jax.random.key(1))
+    o, d, rng_ids = _pixel_rays(CAM, w, h, ids)
     target = jnp.full((w * h, 3), 0.3, jnp.float32)
 
-    def loss_fn(p, template, o, d, keys, tgt):
-        return fit_loss(p, template, o, d, keys, tgt, n_bounces=2)
+    def loss_fn(p, template, o, d, rng_ids, tgt):
+        return fit_loss(p, template, o, d, rng_ids, tgt, n_bounces=2)
 
     loss_u, grads_u = jax.value_and_grad(loss_fn)(
-        params, scene, o, d, keys, target)
+        params, scene, o, d, rng_ids, target)
     vg = sharded_value_and_grad(loss_fn, mesh)
-    loss_s, grads_s = jax.jit(vg)(params, scene, o, d, keys, target)
+    loss_s, grads_s = jax.jit(vg)(params, scene, o, d, rng_ids, target)
 
     # mean-of-shard-means == global mean for equal shard sizes
     np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)
