@@ -53,6 +53,12 @@ class RenderConfig:
     spp: int = 256                 # samples per pixel (MC integrators)
     min_scatter: int = 5           # bounces before Russian roulette kicks in
     rr_cap: float = 0.9            # RR survival probability cap
+    # second RR stage: deep paths survive with at most rr_cap_tail from
+    # bounce rr_tail_after on.  Unbiased (RR reweights); shortens the
+    # bounce tail that otherwise costs full-batch iterations in the
+    # wavefront loop.  Set rr_cap_tail=rr_cap for exact reference behavior.
+    rr_tail_after: int = 16
+    rr_cap_tail: float = 0.5
     max_bounces: int = 64          # hard safety bound for the while_loop
     step_size: float = 0.01        # ray-march step (deterministic integrators)
     env_samples: int = 20          # env direction samples (ray marchers)

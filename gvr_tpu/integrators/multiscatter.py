@@ -126,7 +126,9 @@ def multiscatter_radiance(scene: Scene, origin, direction, rng_ids,
         # throughput update + Russian roulette (integrator.h:688-695)
         thr_n = thr * albedo[:, None]
         do_rr = bounce >= cfg.min_scatter
-        rr = jnp.minimum(jnp.max(thr_n, axis=-1), cfg.rr_cap)
+        cap = jnp.where(bounce >= cfg.rr_tail_after, cfg.rr_cap_tail,
+                        cfg.rr_cap)
+        rr = jnp.minimum(jnp.max(thr_n, axis=-1), cap)
         killed = do_rr & (xi[:, 5] > rr)
         thr_n = jnp.where((do_rr & ~killed)[:, None],
                           thr_n / jnp.maximum(rr, 1e-12)[:, None], thr_n)
@@ -354,7 +356,9 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
 
         thr_n = thr * albedo[:, None]
         do_rr = bounce >= cfg.min_scatter
-        rr = jnp.minimum(jnp.max(thr_n, axis=-1), cfg.rr_cap)
+        cap = jnp.where(bounce >= cfg.rr_tail_after, cfg.rr_cap_tail,
+                        cfg.rr_cap)
+        rr = jnp.minimum(jnp.max(thr_n, axis=-1), cap)
         killed = do_rr & (xi[:, 5] > rr)
         thr_n = jnp.where((do_rr & ~killed)[:, None],
                           thr_n / jnp.maximum(rr, 1e-12)[:, None], thr_n)

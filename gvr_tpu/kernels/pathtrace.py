@@ -323,7 +323,9 @@ def _bounce_call(table, rays, lights_p, lights_i, env_color,
 # 64 MB and sizes blocks for ~0.5 MB per live array.
 _PAIR_ELEMS = 1 << 17
 _VMEM_LIMIT = 64 * 1024 * 1024
-MAX_PALLAS_GAUSSIANS = 2048
+# Above this the chunk-culling kernel (pathtrace_big) wins: measured equal
+# at N=250 and 1.3-2.7x faster at 1k/2.5k/10k/20k.
+MAX_PALLAS_GAUSSIANS = 256
 
 
 def auto_block(n_padded: int) -> int:

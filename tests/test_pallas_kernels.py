@@ -94,3 +94,30 @@ def test_morton_sort_is_order_invariant(rng):
     b = tau_total(tau_coeffs(gs, o, d))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_big_kernel_plan_capacities():
+    from gvr_tpu.kernels.pathtrace_big import plan, G
+    # mid scenes: 128-ray blocks, scratch covers up to 24 chunks
+    blk, cap = plan(4)
+    assert blk == 128 and cap == 4
+    blk, cap = plan(24)
+    assert blk == 128 and cap == 24
+    # big scenes: full coverage at blk=64 (overflow impossible on fixtures)
+    blk, cap = plan(40)          # 10k gaussians
+    assert blk == 64 and cap == 40
+    blk, cap = plan(79)          # 20k gaussians
+    assert blk == 64 and cap == 79
+
+
+def test_tile_order_is_permutation():
+    from gvr_tpu.integrators.multiscatter import tile_order
+    for w, h in ((32, 32), (48, 24), (17, 9)):
+        order = tile_order(w, h)
+        assert sorted(order.tolist()) == list(range(w * h))
+    # 16x8 tiles: the first 128 ids form one tile
+    order = tile_order(64, 64)
+    first = order[:128]
+    xs, ys = first % 64, first // 64
+    assert xs.max() - xs.min() == 15
+    assert ys.max() - ys.min() == 7
