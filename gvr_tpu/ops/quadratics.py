@@ -56,24 +56,34 @@ def sym6(u, v):
     ], axis=-1)
 
 
+def ray_quadratics_ab(gmm: GaussianMixture, origin, direction):
+    """(A, B) for rays [...,3] against all N Gaussians -> each [...,N].
+
+    The hot paths never need C: the interval and exponent come from the
+    cancellation-free closest-approach form (transmittance.py), which only
+    uses A and B — skipping C saves a third of the coefficient matmuls."""
+    ic = gmm.icpack()                       # [N,6]
+    q = gmm.qvec()                          # [N,3]
+
+    dd = sym6(direction, direction)         # [...,6]
+    od = sym6(origin, direction)
+
+    a = _mm(dd, ic)
+    d_q = _mm(direction, q)
+    b = 2.0 * (_mm(od, ic) - d_q)
+    return a, b
+
+
 def ray_quadratics(gmm: GaussianMixture, origin, direction):
     """(A, B, C) for rays [...,3] against all N Gaussians -> each [...,N].
 
     C here is the *full* Mahalanobis constant (no -R_CUT^2), as used by the
-    optical-depth closed form (gaussian.h:208-231)."""
-    ic = gmm.icpack()                       # [N,6]
-    q = gmm.qvec()                          # [N,3]
-    c0 = gmm.c0()                           # [N]
-
-    dd = sym6(direction, direction)         # [...,6]
-    od = sym6(origin, direction)
+    direct transcription of the optical-depth closed form
+    (gaussian.h:208-231)."""
+    a, b = ray_quadratics_ab(gmm, origin, direction)
     oo = sym6(origin, origin)
-
-    a = _mm(dd, ic)
-    o_q = _mm(origin, q)
-    d_q = _mm(direction, q)
-    b = 2.0 * (_mm(od, ic) - d_q)
-    c = _mm(oo, ic) - 2.0 * o_q + c0
+    o_q = _mm(origin, gmm.qvec())
+    c = _mm(oo, gmm.icpack()) - 2.0 * o_q + gmm.c0()
     return a, b, c
 
 

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from gvr_tpu.scene.gaussians import GaussianMixture, R_CUT
-from gvr_tpu.ops.quadratics import ray_quadratics, intersect_from_quadratics
+from gvr_tpu.ops.quadratics import (ray_quadratics, ray_quadratics_ab,
+                                    intersect_from_quadratics)
 
 
 class RayGaussians(NamedTuple):
@@ -78,7 +79,7 @@ def tau_coeffs(gmm: GaussianMixture, origin, direction) -> RayGaussians:
 
     Interval and exponent derive from the cancellation-free closest-approach
     form: t0/t1 = t* -/+ sqrt((R^2 - m2)/a), expo = -m2/2."""
-    a, b, _ = ray_quadratics(gmm, origin, direction)
+    a, b = ray_quadratics_ab(gmm, origin, direction)
     a_safe = jnp.maximum(a, 1e-30)
     m2, t_star = min_mahalanobis_sq(gmm, origin, direction, a, b)
     gap = (R_CUT * R_CUT - m2) / a_safe
@@ -141,7 +142,7 @@ def transmittance_up_to(gmm: GaussianMixture, origin, direction, tmax):
 
     Replaces ``transmittance_up_to_naive/BVH`` (gmm.h:207-226, 517-578).
     One-shot lean path (two erfs per pair) for NEE shadow/env rays."""
-    a, b, _ = ray_quadratics(gmm, origin, direction)
+    a, b = ray_quadratics_ab(gmm, origin, direction)
     a_safe = jnp.maximum(a, 1e-30)
     m2, t_star = min_mahalanobis_sq(gmm, origin, direction, a, b)
     gap = (R_CUT * R_CUT - m2) / a_safe
