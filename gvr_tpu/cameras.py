@@ -100,13 +100,19 @@ class OrthographicCamera:
         return OrthographicCamera(p, v, r, u)
 
     def sample_ray(self, uv):
-        """camera.h:64-73: parallel rays; v is y-flipped."""
+        """camera.h:64-73: parallel rays; v is y-flipped.
+
+        The broadcast constant direction is wrapped in an
+        optimization_barrier: letting XLA constant-fold a whole-batch
+        constant direction through the renderer SIGILLs the TPU compiler
+        (tpu_compile_helper crash, reproducible on v5e)."""
         u = uv[..., 0] * 2.0 - 1.0
         v = 1.0 - uv[..., 1] * 2.0          # y-flip (camera.h:67)
         origin = (self.position
                   + u[..., None] * self.right
                   + v[..., None] * self.up)
-        direction = jnp.broadcast_to(self.view_dir, origin.shape)
+        direction = jax.lax.optimization_barrier(
+            jnp.broadcast_to(self.view_dir, origin.shape))
         return origin, direction
 
 

@@ -29,15 +29,24 @@ def pick_chunk(cfg: RenderConfig, n_primitives: int) -> int:
 
 
 def render_chunked(scene: Scene, radiance_fn: Callable, num_rays: int,
-                   chunk: int) -> np.ndarray:
-    """Evaluate radiance_fn(scene, ray_ids [B]) -> [B,3] over all rays in
-    fixed-size chunks (last chunk padded).  Returns [num_rays, 3] float32."""
-    fn = jax.jit(radiance_fn)
+                   chunk: int, camera=None) -> np.ndarray:
+    """Evaluate radiance_fn(scene[, camera], ray_ids [B]) -> [B,3] over all
+    rays in fixed-size chunks (last chunk padded).  Returns
+    [num_rays, 3] float32.
+
+    When ``camera`` is given it is passed as a *traced* pytree argument so
+    per-frame camera changes (turntables) don't retrigger compilation."""
+    # don't re-wrap already-jitted callables (would defeat their caches)
+    fn = radiance_fn if hasattr(radiance_fn, "lower") else \
+        jax.jit(radiance_fn)
     out = np.empty((num_rays, 3), np.float32)
     for start in range(0, num_rays, chunk):
         ids = np.arange(start, start + chunk, dtype=np.int32)
         ids = np.minimum(ids, num_rays - 1)          # pad with repeats
-        vals = np.asarray(fn(scene, jnp.asarray(ids)))
+        if camera is None:
+            vals = np.asarray(fn(scene, jnp.asarray(ids)))
+        else:
+            vals = np.asarray(fn(scene, camera, jnp.asarray(ids)))
         stop = min(start + chunk, num_rays)
         out[start:stop] = vals[: stop - start]
     return out

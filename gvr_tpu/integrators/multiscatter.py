@@ -23,6 +23,7 @@ derive_path_seed + PCG32 (rng.h).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -378,6 +379,14 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     return acc / cfg.spp
 
 
+@functools.lru_cache(maxsize=32)
+def _wavefront_fn(cfg: RenderConfig, static_lights):
+    """Cached jitted wavefront chunk fn; scene and camera are traced, so
+    turntable frames and fit iterations reuse one compilation."""
+    return jax.jit(lambda sc, cam, ids: wavefront_pixels(
+        sc, cam, cfg, ids, static_lights))
+
+
 def tile_order(w: int, h: int, tw: int = 16, th: int = 8) -> np.ndarray:
     """Pixel ids permuted into tw x th screen tiles, so consecutive
     128-ray kernel blocks are spatially coherent — the big-N kernel's
@@ -405,8 +414,7 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
             tuple(tuple(float(v) for v in r)
                   for r in np.asarray(scene.lights_i)),
             tuple(float(v) for v in np.asarray(scene.env_color)))
-    fn = jax.jit(lambda sc, ids: wavefront_pixels(sc, camera, cfg, ids,
-                                                  static_lights))
+    fn = _wavefront_fn(cfg, static_lights)
     chunk = pick_chunk(cfg, scene.medium.n)
     acc = np.zeros((w * h, 3), np.float32)
     for start in range(0, w * h, chunk):
@@ -415,7 +423,7 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
         if len(ids) < chunk:
             ids = np.concatenate([ids, np.full(chunk - len(ids), ids[-1],
                                                np.int32)])
-        vals = np.asarray(fn(scene, jnp.asarray(ids)))
+        vals = np.asarray(fn(scene, camera, jnp.asarray(ids)))
         acc[order[start:stop]] = vals[: stop - start]
         if progress:
             print(f"  pixels {stop}/{w * h}")

@@ -21,6 +21,7 @@ shapes.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -39,33 +40,34 @@ FOUR_PI = 4.0 * math.pi
 
 
 def _scene_t_end(scene, camera, cfg) -> float:
-    """Static bound on the march length: max medium-exit distance over all
-    pixel-center rays (host-side prepass)."""
-    w, h = cfg.width, cfg.height
+    """Static bound on the march length from host-side geometry: the
+    farthest medium AABB corner from the camera ray origins (camera plane
+    extends +-sqrt(2) around position).  Camera-stable up to the ceil, so
+    turntable frames reuse one compilation."""
+    if hasattr(scene.medium, "aabbs"):
+        bmin, bmax = scene.medium.aabbs()
+        bmin = np.asarray(bmin).min(axis=0)
+        bmax = np.asarray(bmax).max(axis=0)
+    else:
+        c = np.asarray(scene.medium.center)
+        r = np.asarray(scene.medium.radius)[:, None]
+        bmin = (c - r).min(axis=0)
+        bmax = (c + r).max(axis=0)
+    pos = np.asarray(camera.position)
+    corners = np.array([[bmin[i] if (k >> i) & 1 else bmax[i]
+                         for i in range(3)] for k in range(8)])
+    far = float(np.max(np.linalg.norm(corners - pos, axis=-1)))
+    return far + 2.0   # image-plane offset headroom
 
-    def chunk_max(sc, ids):
-        x, y = ids_to_pixels(ids, w)
-        u = (x.astype(jnp.float32) + 0.5) / w
-        v = (y.astype(jnp.float32) + 0.5) / h
-        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
-        rg = tau_coeffs(sc.medium, o, d)
-        return jnp.broadcast_to(far_bound(rg)[:, None], (ids.shape[0], 3))
 
-    vals = render_chunked(scene, chunk_max, w * h, pick_chunk(cfg, scene.medium.n))
-    return float(vals[:, 0].max())
-
-
-def render_raymarch_gaussians(scene: Scene, camera,
-                              cfg: RenderConfig) -> np.ndarray:
-    """Analytic-transmittance Gaussian ray marcher
-    (= RayMarchingGaussians, test_integrators.h:143)."""
+@functools.lru_cache(maxsize=32)
+def _raymarch_gaussians_fn(cfg: RenderConfig, n_steps: int):
+    """Cached jitted per-chunk marcher; scene and camera are traced args."""
     w, h = cfg.width, cfg.height
     step = cfg.step_size
-    t_end_max = _scene_t_end(scene, camera, cfg)
-    n_steps = max(1, int(math.ceil(t_end_max / step)) + 1)
     base_key = jax.random.key(cfg.seed)
 
-    def radiance(sc: Scene, ids):
+    def radiance(sc: Scene, camera, ids):
         gmm = sc.medium
         x, y = ids_to_pixels(ids, w)
         u = (x.astype(jnp.float32) + 0.5) / w
@@ -124,9 +126,20 @@ def render_raymarch_gaussians(scene: Scene, camera,
         rad = rad + big_t[:, None] * sc.env_color
         return jnp.where(hit_any[:, None], rad, sc.env_color[None, :])
 
+    return jax.jit(radiance)
+
+
+def render_raymarch_gaussians(scene: Scene, camera,
+                              cfg: RenderConfig) -> np.ndarray:
+    """Analytic-transmittance Gaussian ray marcher
+    (= RayMarchingGaussians, test_integrators.h:143)."""
+    w, h = cfg.width, cfg.height
+    t_end_max = _scene_t_end(scene, camera, cfg)
+    n_steps = max(1, int(math.ceil(t_end_max / cfg.step_size)) + 1)
+    fn = _raymarch_gaussians_fn(cfg, n_steps)
     # env sampling multiplies the [B,N] working set
     chunk = pick_chunk(cfg, scene.medium.n * 4)
-    img = render_chunked(scene, radiance, w * h, chunk)
+    img = render_chunked(scene, fn, w * h, chunk, camera=camera)
     return img.reshape(h, w, 3)
 
 
@@ -274,28 +287,13 @@ def _scene_t_end_any(scene, camera, cfg) -> float:
     return float(vals[:, 0].max())
 
 
-def render_raymarch_spheres(scene: Scene, camera,
-                            cfg: RenderConfig) -> np.ndarray:
-    """Sphere ray marcher with piecewise-constant analytic transmittance
-    (= RayMarchingSpheres, test_integrators.h:11-136)."""
+@functools.lru_cache(maxsize=32)
+def _raymarch_spheres_fn(cfg: RenderConfig, n_steps: int):
     w, h = cfg.width, cfg.height
     step = cfg.step_size
     base_key = jax.random.key(cfg.seed)
 
-    # static bound: farthest sphere exit over pixel rays
-    def t_end_chunk(sc, ids):
-        x, y = ids_to_pixels(ids, w)
-        u = (x.astype(jnp.float32) + 0.5) / w
-        v = (y.astype(jnp.float32) + 0.5) / h
-        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
-        t0, t1, hitm = sc.medium.intersect(o, d)
-        t_end = jnp.max(jnp.where(hitm, t1, 0.0), axis=-1)
-        return jnp.broadcast_to(t_end[:, None], (ids.shape[0], 3))
-
-    vals = render_chunked(scene, t_end_chunk, w * h, pick_chunk(cfg, scene.medium.n))
-    n_steps = max(1, int(math.ceil(float(vals[:, 0].max()) / step)) + 1)
-
-    def radiance(sc: Scene, ids):
+    def radiance(sc: Scene, camera, ids):
         smm = sc.medium
         x, y = ids_to_pixels(ids, w)
         u = (x.astype(jnp.float32) + 0.5) / w
@@ -349,6 +347,17 @@ def render_raymarch_spheres(scene: Scene, camera,
         rad = rad + big_t[:, None] * sc.env_color
         return jnp.where(hit_any[:, None], rad, sc.env_color[None, :])
 
-    img = render_chunked(scene, radiance, w * h,
-                         pick_chunk(cfg, scene.medium.n * 4))
+    return jax.jit(radiance)
+
+
+def render_raymarch_spheres(scene: Scene, camera,
+                            cfg: RenderConfig) -> np.ndarray:
+    """Sphere ray marcher with piecewise-constant analytic transmittance
+    (= RayMarchingSpheres, test_integrators.h:11-136)."""
+    w, h = cfg.width, cfg.height
+    n_steps = max(1, int(math.ceil(
+        _scene_t_end(scene, camera, cfg) / cfg.step_size)) + 1)
+    fn = _raymarch_spheres_fn(cfg, n_steps)
+    img = render_chunked(scene, fn, w * h,
+                         pick_chunk(cfg, scene.medium.n * 4), camera=camera)
     return img.reshape(h, w, 3)

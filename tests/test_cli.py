@@ -1,0 +1,53 @@
+"""CLI smoke tests (the reference's driver surface, tests/main.cpp)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gvr_tpu.io.ppm import read_ppm
+
+SCENE = "/root/reference/scenes/gaussians/1_gaussian.txt"
+ENV = {**os.environ, "PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu"}
+
+
+def _run(args, timeout=300):
+    return subprocess.run([sys.executable, "-m", "gvr_tpu.cli", *args],
+                          capture_output=True, text=True, timeout=timeout,
+                          env=ENV, cwd="/root/repo")
+
+
+def test_cli_render_multiscatter(tmp_path):
+    out = str(tmp_path / "o.ppm")
+    r = _run(["render", SCENE, "-o", out, "--width", "32", "--height", "32",
+              "--spp", "4"])
+    assert r.returncode == 0, r.stderr[-800:]
+    img = read_ppm(out)
+    assert img.shape == (32, 32, 3)
+    assert "Render time" in r.stdout
+
+
+def test_cli_render_hitmask(tmp_path):
+    out = str(tmp_path / "h.ppm")
+    r = _run(["render", SCENE, "-o", out, "--width", "16", "--height", "16",
+              "--integrator", "hitmask", "--spp", "1"])
+    assert r.returncode == 0, r.stderr[-800:]
+    img = read_ppm(out)
+    # center magenta, corner env
+    np.testing.assert_allclose(img[8, 8], [1.0, 0.0, 1.0], atol=0.01)
+
+
+def test_cli_animate(tmp_path):
+    out = str(tmp_path / "a.gif")
+    r = _run(["animate", SCENE, "-o", out, "--width", "24", "--height", "24",
+              "--frames", "2", "--env-samples", "1"], timeout=400)
+    assert r.returncode == 0, r.stderr[-800:]
+    raw = open(out, "rb").read()
+    assert raw.startswith(b"GIF89a") and raw.endswith(b"\x3b")
+
+
+def test_cli_bad_scene():
+    r = _run(["render", "/nonexistent.txt", "-o", "/tmp/x.ppm"])
+    assert r.returncode != 0

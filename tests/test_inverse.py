@@ -117,7 +117,7 @@ def test_short_fit_improves_render(tmp_path):
                            batch_pixels=w * h, n_bounces=2, spp=4,
                            log=lambda msg: None)
 
-    rc = RenderConfig(width=w, height=h, spp=256)
+    rc = RenderConfig(width=w, height=h, spp=64)
     img_true = render_multiscatter(scene_true, CAM, rc)
     img_init = render_multiscatter(scene_init, CAM, rc)
     img_fit = render_multiscatter(fitted, CAM, rc)
