@@ -23,7 +23,7 @@ import numpy as np
 SCENE = os.environ.get(
     "BENCH_SCENE", "/root/reference/scenes/gaussians/250_random.txt")
 SIZE = int(os.environ.get("BENCH_SIZE", "1024"))
-SPP = int(os.environ.get("BENCH_SPP", "8"))
+SPP = int(os.environ.get("BENCH_SPP", "64"))
 TARGET_MRAYS = 100.0
 
 
