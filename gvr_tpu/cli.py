@@ -14,10 +14,7 @@ from __future__ import annotations
 
 import argparse
 import math
-import sys
 import time
-
-import numpy as np
 
 
 def _add_common(p):

@@ -33,12 +33,12 @@ import numpy as np
 from gvr_tpu.config import RenderConfig, Solver
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.ops.transmittance import (
-    tau_coeffs, tau_up_to, tau_total, transmittance_up_to, far_bound,
-    compact_candidates, albedo_at_from_rg)
+    tau_coeffs, tau_total, transmittance_up_to, compact_candidates,
+    albedo_at_from_rg)
 from gvr_tpu.ops.solvers import (
     sample_free_flight, solve_conditional_free_flight)
 from gvr_tpu.ops.sampling import path_uniforms
-from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
+from gvr_tpu.integrators.common import ids_to_pixels, pick_chunk
 from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
 
 

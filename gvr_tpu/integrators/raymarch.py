@@ -32,7 +32,7 @@ from gvr_tpu.config import RenderConfig
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.ops.transmittance import (
     tau_coeffs, tau_interval, transmittance_up_to, far_bound, any_hit)
-from gvr_tpu.ops.sampling import sample_uniform_direction, path_key
+from gvr_tpu.ops.sampling import path_key
 from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
 
 INV_4PI = 1.0 / (4.0 * math.pi)

@@ -24,7 +24,7 @@ import numpy as np
 from gvr_tpu.config import RenderConfig
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.ops.quadratics import intersect_gaussians
-from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
+from gvr_tpu.integrators.common import ids_to_pixels, pick_chunk
 
 
 def pixel_gaussians(scene: Scene, camera, cfg: RenderConfig, k: int = 16):

@@ -28,14 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from gvr_tpu.config import FitConfig, RenderConfig
+from gvr_tpu.config import FitConfig
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.scene.gaussians import GaussianMixture
-from gvr_tpu.cameras import pixel_center_uv
-from gvr_tpu.integrators.multiscatter import (
-    multiscatter_radiance_diff, render_multiscatter)
+from gvr_tpu.integrators.multiscatter import multiscatter_radiance_diff
 from gvr_tpu.parallel.sharding import (
-    make_mesh, sharded_value_and_grad, shard_rays, RAY_AXIS)
+    make_mesh, sharded_value_and_grad, shard_rays)
 
 
 @dataclasses.dataclass

@@ -15,8 +15,6 @@ Support is truncated at R_CUT = 3 standard deviations (``gaussian.h:36``).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import os
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp
