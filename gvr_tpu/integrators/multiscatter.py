@@ -217,6 +217,16 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
     return rad
 
 
+def strat_n(spp: int) -> int:
+    """Stratification grid side: int(sqrt(spp)) when spp is a perfect
+    square, else 1 (plain jitter).  The reference assumes perfect-square
+    spp (integrator.h:311 "ASSUMING num_samples is power of 2"); for other
+    spp its si // n cells walk outside the pixel footprint — here
+    non-square spp degrades gracefully to unstratified sampling."""
+    n = max(int(spp ** 0.5), 1)
+    return n if n * n == spp else 1
+
+
 def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
     """Stratified primary rays for MC integrators (integrator.h:557-570):
     n = int(sqrt(spp)); cell (si % n, si // n); hash-RNG jitter (the
@@ -224,9 +234,9 @@ def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
     w, h = cfg.width, cfg.height
     x, y = ids_to_pixels(ids, w)
     xi = path_uniforms(ids, sample_idx, 0x7FFF0000, 2, cfg.seed)
-    n = max(int(cfg.spp ** 0.5), 1)
+    n = strat_n(cfg.spp)
     sx = (sample_idx % n).astype(jnp.float32)
-    sy = (sample_idx // n).astype(jnp.float32)
+    sy = ((sample_idx // n) % n).astype(jnp.float32)
     u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n) / w
     v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n) / h
     o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
@@ -264,7 +274,7 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     w, h = cfg.width, cfg.height
     x = ids % w
     y = ids // w
-    n_strat = max(int(cfg.spp ** 0.5), 1)
+    n_strat = strat_n(cfg.spp)
     use_compact = 0 < cfg.candidate_k < gmm.n
 
     use_pallas = _pallas_enabled(cfg)
@@ -295,7 +305,7 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     def make_ray(sample_idx):
         xi = path_uniforms(ids, sample_idx, 0x7FFF0000, 2, cfg.seed)
         sx = (sample_idx % n_strat).astype(jnp.float32)
-        sy = (sample_idx // n_strat).astype(jnp.float32)
+        sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
         u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n_strat) / w
         v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n_strat) / h
         o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))

@@ -32,7 +32,7 @@ from gvr_tpu.config import RenderConfig
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.ops.transmittance import (
     tau_coeffs, tau_interval, transmittance_up_to, far_bound, any_hit)
-from gvr_tpu.ops.sampling import path_key
+from gvr_tpu.ops.sampling import path_uniforms
 from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
 
 INV_4PI = 1.0 / (4.0 * math.pi)
@@ -65,7 +65,6 @@ def _raymarch_gaussians_fn(cfg: RenderConfig, n_steps: int):
     """Cached jitted per-chunk marcher; scene and camera are traced args."""
     w, h = cfg.width, cfg.height
     step = cfg.step_size
-    base_key = jax.random.key(cfg.seed)
 
     def radiance(sc: Scene, camera, ids):
         gmm = sc.medium
@@ -76,7 +75,6 @@ def _raymarch_gaussians_fn(cfg: RenderConfig, n_steps: int):
         rg = tau_coeffs(gmm, o, d)
         hit_any = any_hit(rg)
         t_end = far_bound(rg)                                  # [B]
-        keys = jax.vmap(lambda a, b: path_key(base_key, a, b, 0))(x, y)
 
         def body(k, carry):
             big_t, radiance_acc = carry
@@ -97,11 +95,11 @@ def _raymarch_gaussians_fn(cfg: RenderConfig, n_steps: int):
                 li = li + tr[:, None] * sc.lights_i[l] / (dist * dist)[:, None]
 
             # --- environment: MC directions, analytic transmittance ---
-            step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, k))(keys)
-
+            # counter-hash uniforms keyed by (pixel, step, env sample) —
+            # the vmapped fold_in pattern used previously is ~10000x
+            # slower on this backend (see CLAUDE.md)
             def env_one(e, acc):
-                ekeys = jax.vmap(lambda kk: jax.random.fold_in(kk, e))(step_keys)
-                xi = jax.vmap(lambda kk: jax.random.uniform(kk, (2,)))(ekeys)
+                xi = path_uniforms(ids, k, e, 2, cfg.seed)
                 wdir = _dir_from_xi(xi)
                 tr = transmittance_up_to(gmm, pos, wdir, jnp.float32(1e8))
                 return acc + tr[:, None] * sc.env_color
@@ -204,7 +202,6 @@ def render_pure_raymarch(scene: Scene, camera,
     n_steps = max(1, int(math.ceil(t_end_max / step)) + 1)
     # static bound for shadow marches: scene extent + headroom
     shadow_steps = n_steps + 8
-    base_key = jax.random.key(cfg.seed)
 
     def radiance(sc: Scene, ids):
         medium = sc.medium
@@ -215,7 +212,6 @@ def render_pure_raymarch(scene: Scene, camera,
         t0, t1, hitm = _medium_intervals(medium, o, d)
         hit_any = jnp.any(hitm, axis=-1)
         t_end = jnp.max(jnp.where(hitm, t1, 0.0), axis=-1)
-        keys = jax.vmap(lambda a, c: path_key(base_key, a, c, 0))(x, y)
 
         def body(k, carry):
             big_t, rad = carry
@@ -235,12 +231,8 @@ def render_pure_raymarch(scene: Scene, camera,
                                          shadow_steps)
                 li = li + tr[:, None] * sc.lights_i[l] / (dist * dist)[:, None]
 
-            step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, k))(keys)
-
             def env_one(e, acc):
-                ekeys = jax.vmap(lambda kk: jax.random.fold_in(kk, e))(
-                    step_keys)
-                xi = jax.vmap(lambda kk: jax.random.uniform(kk, (2,)))(ekeys)
+                xi = path_uniforms(ids, k, e, 2, cfg.seed)
                 wdir = _dir_from_xi(xi)
                 # march env transmittance to the env ray's own medium exit
                 et0, et1, ehit = _medium_intervals(medium, pos, wdir)
@@ -291,7 +283,6 @@ def _scene_t_end_any(scene, camera, cfg) -> float:
 def _raymarch_spheres_fn(cfg: RenderConfig, n_steps: int):
     w, h = cfg.width, cfg.height
     step = cfg.step_size
-    base_key = jax.random.key(cfg.seed)
 
     def radiance(sc: Scene, camera, ids):
         smm = sc.medium
@@ -303,7 +294,6 @@ def _raymarch_spheres_fn(cfg: RenderConfig, n_steps: int):
         t0c = jnp.maximum(t0, 0.0)
         hit_any = jnp.any(hitm, axis=-1)
         t_end = jnp.max(jnp.where(hitm, t1, 0.0), axis=-1)
-        keys = jax.vmap(lambda a, b: path_key(base_key, a, b, 0))(x, y)
 
         def body(k, carry):
             big_t, rad = carry
@@ -323,11 +313,8 @@ def _raymarch_spheres_fn(cfg: RenderConfig, n_steps: int):
                 tr = smm.transmittance_up_to(pos, wi, dist)
                 li = li + tr[:, None] * sc.lights_i[l] / (dist * dist)[:, None]
 
-            step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, k))(keys)
-
             def env_one(e, acc):
-                ekeys = jax.vmap(lambda kk: jax.random.fold_in(kk, e))(step_keys)
-                xi = jax.vmap(lambda kk: jax.random.uniform(kk, (2,)))(ekeys)
+                xi = path_uniforms(ids, k, e, 2, cfg.seed)
                 wdir = _dir_from_xi(xi)
                 tr = smm.transmittance_up_to(pos, wdir, jnp.float32(1e8))
                 return acc + tr[:, None] * sc.env_color

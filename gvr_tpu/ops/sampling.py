@@ -28,19 +28,29 @@ def path_uniforms(pixel_id, sample, bounce, n: int, seed: int = 0):
     batching/chunk layout, reproducible across shards.
 
     Used in the render hot loop: vmapped threefry costs ~10000x more on
-    the TPU backend; two splitmix32 rounds give MC-grade avalanche at a
-    handful of integer VPU ops per draw."""
+    the TPU backend; splitmix32 rounds give MC-grade avalanche at a
+    handful of integer VPU ops per draw.
+
+    The path state is 64 bits (two independently-mixed 32-bit lanes, the
+    analog of the reference's splitmix64 path seeding, rng.h:52-57): with a
+    single 32-bit state, birthday collisions would give ~5e5 of the ~6.7e7
+    (pixel, sample) pairs at 512^2 x 256 spp fully identical uniform
+    streams.  Each output column mixes both lanes, so full-stream
+    collisions need a simultaneous 64-bit collision (~2^-64)."""
     pid = pixel_id.astype(jnp.uint32)
     s = jnp.asarray(sample).astype(jnp.uint32)
     b = jnp.asarray(bounce).astype(jnp.uint32)
     if isinstance(seed, int):
         seed = seed & 0xFFFFFFFF
     sd = jnp.asarray(seed).astype(jnp.uint32)
-    base = _mix32(pid * jnp.uint32(0x85EBCA6B)
-                  ^ (s * jnp.uint32(0xC2B2AE35))
-                  ^ _mix32(sd))
-    base = _mix32(base ^ (b * jnp.uint32(0x27D4EB2F)))
-    cols = [_mix32(base ^ jnp.uint32(0x165667B1 * (i + 1)))
+    h1 = _mix32(pid * jnp.uint32(0x85EBCA6B)
+                ^ (s * jnp.uint32(0xC2B2AE35))
+                ^ _mix32(sd))
+    h2 = _mix32((pid ^ jnp.uint32(0xDEADBEEF)) * jnp.uint32(0x9E3779B1)
+                + s * jnp.uint32(0x6C078965) + sd)
+    b1 = _mix32(h1 ^ (b * jnp.uint32(0x27D4EB2F)))
+    b2 = _mix32(h2 + b * jnp.uint32(0x41C64E6D))
+    cols = [_mix32((b1 ^ jnp.uint32(0x165667B1 * (i + 1))) + b2)
             for i in range(n)]
     u = jnp.stack(cols, axis=-1)
     return u.astype(jnp.float32) * jnp.float32(2.0 ** -32)
@@ -68,13 +78,3 @@ def sample_uniform_direction(key, shape=()):
                       cos_phi], axis=-1)
 
 
-def stratified_offsets(spp: int):
-    """Stratified sub-pixel cell origins for sample indices 0..spp-1,
-    mirroring integrator.h:311-317: n = int(sqrt(spp)), sx = si % n,
-    sy = si // n; the jitter inside the 1/n cell is added by the caller."""
-    n = int(spp ** 0.5)
-    n = max(n, 1)
-    si = jnp.arange(spp)
-    sx = (si % n).astype(jnp.float32)
-    sy = (si // n).astype(jnp.float32)
-    return sx, sy, float(n)

@@ -74,7 +74,7 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
     mean bounces (used by bench.py's honest ray accounting)."""
     import jax
     import jax.numpy as jnp
-    from gvr_tpu.ops.transmittance import tau_coeffs
+    from gvr_tpu.ops.transmittance import tau_coeffs, albedo_at_from_rg
     from gvr_tpu.ops.solvers import sample_free_flight
     from gvr_tpu.ops.sampling import path_uniforms
     from gvr_tpu.integrators.raymarch import _dir_from_xi
@@ -90,11 +90,16 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
         o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
 
         def cond(st):
-            *_, alive, bounce, _, _ = st
+            alive, bounce = st[4], st[5]
             return jnp.any(alive) & (bounce < cfg.max_bounces)
 
+        # Mirrors wavefront_pixels' survival exactly: throughput decays by
+        # the mixture albedo at each scatter and Russian roulette survives
+        # with min(max(throughput), cap) where cap drops to rr_cap_tail
+        # after rr_tail_after bounces.  (A constant-0.9 model overestimated
+        # rays/path on absorbing scenes.)
         def body(st):
-            o, d, ids_, alive, bounce, rays, bounces = st
+            o, d, thr, ids_, alive, bounce, rays, bounces = st
             rg = tau_coeffs(sc.medium, o, d)
             xi = path_uniforms(ids_, 0, bounce, 9, cfg.seed)
             target = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
@@ -103,13 +108,24 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
             rays = rays + jnp.sum(alive) + jnp.sum(alive & scattered)
             bounces = bounces + jnp.sum(alive & scattered)
             alive = alive & scattered
-            rr_alive = (bounce < cfg.min_scatter) | (xi[:, 5] < cfg.rr_cap)
-            alive = alive & rr_alive
-            pos = o + jnp.maximum(t_sc, 0.0)[:, None] * d
+            t_pos = jnp.maximum(t_sc, 0.0)
+            albedo = albedo_at_from_rg(rg, sc.medium.albedo, t_pos)
+            thr_n = thr * albedo[:, None]
+            do_rr = bounce >= cfg.min_scatter
+            cap = jnp.where(bounce >= cfg.rr_tail_after, cfg.rr_cap_tail,
+                            cfg.rr_cap)
+            rr = jnp.minimum(jnp.max(thr_n, axis=-1), cap)
+            killed = do_rr & (xi[:, 5] > rr)
+            thr_n = jnp.where((do_rr & ~killed)[:, None],
+                              thr_n / jnp.maximum(rr, 1e-12)[:, None], thr_n)
+            alive = alive & ~killed
+            thr = jnp.where(alive[:, None], thr_n, thr)
+            pos = o + t_pos[:, None] * d
             nd = _dir_from_xi(xi[:, 6:8])
-            return (pos, nd, ids_, alive, bounce + 1, rays, bounces)
+            return (pos, nd, thr, ids_, alive, bounce + 1, rays, bounces)
 
-        st = (o, d, ids, jnp.ones(ids.shape[0], bool), jnp.int32(0),
+        st = (o, d, jnp.ones((ids.shape[0], 3)), ids,
+              jnp.ones(ids.shape[0], bool), jnp.int32(0),
               jnp.int32(0), jnp.int32(0))
         *_, rays, bounces = jax.lax.while_loop(cond, body, st)
         return rays, bounces
