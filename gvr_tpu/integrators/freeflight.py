@@ -29,8 +29,10 @@ def single_scatter_radiance(scene: Scene, origin, direction, rng_ids,
     from gvr_tpu.ops.sampling import path_uniforms
     xi = path_uniforms(rng_ids, sample, 0, 9, cfg.seed)
     rg = tau_coeffs(gmm, origin, direction)
-    if 0 < cfg.candidate_k < gmm.n:
-        rg, alb_k, _ = compact_candidates(rg, gmm.albedo, cfg.candidate_k)
+    from gvr_tpu.integrators.multiscatter import effective_candidate_k
+    k_cand = effective_candidate_k(cfg, gmm.n)
+    if 0 < k_cand < gmm.n:
+        rg, alb_k, _ = compact_candidates(rg, gmm.albedo, k_cand)
     else:
         alb_k = gmm.albedo
     target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))

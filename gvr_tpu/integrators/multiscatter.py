@@ -42,6 +42,15 @@ from gvr_tpu.integrators.common import ids_to_pixels, pick_chunk
 from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
 
 
+def effective_candidate_k(cfg: RenderConfig, n: int) -> int:
+    """cfg.candidate_k, force-capped for the UNIFORM ablation solver: it
+    materializes a [rays, 2K, K] tensor (ops/solvers._uniform_in_segment),
+    O(N^2) memory per ray, which OOMs for dense big scenes."""
+    if cfg.solver == Solver.UNIFORM and cfg.candidate_k == 0 and n > 64:
+        return 64
+    return cfg.candidate_k
+
+
 def _nee(sc: Scene, gmm, pos, xi_choice, xi_light, xi_env2):
     """Next-event estimation: sample one of (num_lights point lights + env)
     with probability 1/(L+1) each (integrator.h:657-683).
@@ -92,7 +101,8 @@ def multiscatter_radiance(scene: Scene, origin, direction, rng_ids,
         o, d, thr, rad, alive, bounce = state
         return jnp.any(alive) & (bounce < cfg.max_bounces)
 
-    use_compact = 0 < cfg.candidate_k < gmm.n
+    k_cand = effective_candidate_k(cfg, gmm.n)
+    use_compact = 0 < k_cand < gmm.n
 
     def body(state):
         o, d, thr, rad, alive, bounce = state
@@ -100,7 +110,7 @@ def multiscatter_radiance(scene: Scene, origin, direction, rng_ids,
         if use_compact:
             # BVH-pruning replacement: run the fixed-iteration solver on the
             # candidate_k nearest-entering hits instead of all N Gaussians
-            rg, alb_k, _ = compact_candidates(rg, gmm.albedo, cfg.candidate_k)
+            rg, alb_k, _ = compact_candidates(rg, gmm.albedo, k_cand)
         else:
             alb_k = gmm.albedo
         xi = uniforms(rng_ids, bounce)                       # [B,9]
@@ -244,6 +254,10 @@ def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
 
 
 def _pallas_enabled(cfg: RenderConfig) -> bool:
+    # the fused kernel implements the (analytic-)Newton solver only; the
+    # bisection/uniform ablation solvers run on the XLA path
+    if cfg.solver not in (Solver.NEWTON, Solver.ANALYTIC_NEWTON):
+        return False
     if cfg.pallas == "off":
         return False
     if cfg.pallas in ("on", "interpret"):
@@ -275,7 +289,8 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     x = ids % w
     y = ids // w
     n_strat = strat_n(cfg.spp)
-    use_compact = 0 < cfg.candidate_k < gmm.n
+    k_cand = effective_candidate_k(cfg, gmm.n)
+    use_compact = 0 < k_cand < gmm.n
 
     use_pallas = _pallas_enabled(cfg)
     use_big = False
@@ -345,8 +360,7 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
         else:
             rg = tau_coeffs(gmm, o, d)
             if use_compact:
-                rg, alb_k, _ = compact_candidates(rg, gmm.albedo,
-                                                  cfg.candidate_k)
+                rg, alb_k, _ = compact_candidates(rg, gmm.albedo, k_cand)
             else:
                 alb_k = gmm.albedo
             target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))

@@ -1,0 +1,162 @@
+"""Full-resolution (512x512) golden parity sweep -> PARITY.md.
+
+Renders every usable reference golden (tests/renders/*.ppm) at the
+reference's own configuration (512^2, 256 spp MC / step 0.01 + 20 env
+samples for marchers, pinhole (0,1,6) fov pi/4 unless the golden is the
+orthographic sphere scene) and records PSNR + mean delta.
+
+Quality bar (BASELINE.md): for MC renders the golden itself carries
+256-spp noise, so raw PSNR is noise-limited; the bar is expressed as
+  psnr_delta = psnr(ours seed0 vs ours seed1) - psnr(ours vs golden)
+i.e. our render must match the reference's render as closely as it matches
+an independent run of itself (<= 0.1 dB difference).  Deterministic
+marchers are compared directly.
+
+Run on the TPU (default backend); takes ~15-20 min including compiles.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gvr_tpu.scene.scene import load_gmm
+from gvr_tpu.cameras import PinholeCamera
+from gvr_tpu.config import RenderConfig, Solver
+from gvr_tpu.integrators.raymarch import (render_raymarch_gaussians,
+                                          render_raymarch_spheres)
+from gvr_tpu.integrators.freeflight import render_single_scatter
+from gvr_tpu.integrators.multiscatter import render_multiscatter
+from gvr_tpu.io.mitsuba import load_mitsuba
+from gvr_tpu.io.ppm import read_ppm, quantize
+from gvr_tpu.utils.image import psnr
+
+REF = "/root/reference"
+CAM = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+SPP = int(os.environ.get("PARITY_SPP", "256"))
+
+EXCLUDED = """\
+Excluded goldens (documented-bad `2_gaussian` family): `baseline_2.ppm`,
+`2_gaussian_ref.ppm`, `2g_freeflight.ppm` were rendered from a different
+version of `2_gaussian.txt` than the checked-in one — verified with an
+independent float64 oracle and a light-intensity sweep (scaling the light
+1x-5x moves our mean by <0.2% while the goldens sit 3% brighter with
+structurally different falloff, so the mismatch is in the Gaussian
+parameters, not the light).  All three share the same mean (0.6996),
+confirming they came from one (lost) scene file."""
+
+
+def q(img):
+    return quantize(np.asarray(img)).astype(np.float32) / 255.0
+
+
+def run():
+    import jax
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
+          flush=True)
+    rows = []
+
+    def marcher(golden, scene_file):
+        t0 = time.time()
+        sc = load_gmm(f"{REF}/scenes/gaussians/{scene_file}")
+        cfg = RenderConfig(width=512, height=512, env_samples=20)
+        img = q(render_raymarch_gaussians(sc, CAM, cfg))
+        g = read_ppm(f"{REF}/tests/renders/{golden}.ppm")
+        rows.append((golden, f"raymarch {scene_file}", psnr(img, g),
+                     None, img.mean() - g.mean(), time.time() - t0))
+        print(f"  {golden}: {rows[-1][2]:.2f} dB ({rows[-1][5]:.0f}s)",
+              flush=True)
+
+    def mc(golden, scene_file, render_fn, solver=Solver.ANALYTIC_NEWTON,
+           label=""):
+        t0 = time.time()
+        sc = load_gmm(f"{REF}/scenes/gaussians/{scene_file}")
+        cfg = RenderConfig(width=512, height=512, spp=SPP, solver=solver)
+        img0 = q(render_fn(sc, CAM, cfg))
+        img1 = q(render_fn(sc, CAM, cfg.replace(seed=1)))
+        g = read_ppm(f"{REF}/tests/renders/{golden}.ppm")
+        p_gold = psnr(img0, g)
+        p_self = psnr(img0, img1)
+        rows.append((golden, label or f"{render_fn.__name__} {scene_file}",
+                     p_gold, p_self, img0.mean() - g.mean(),
+                     time.time() - t0))
+        print(f"  {golden}: vs-golden {p_gold:.2f} dB, self {p_self:.2f} dB,"
+              f" dmean {rows[-1][4]:+.4f} ({rows[-1][5]:.0f}s)", flush=True)
+
+    print("deterministic marchers...", flush=True)
+    marcher("baseline_1", "1_gaussian.txt")
+    marcher("baseline_7", "many_gaussians.txt")
+    marcher("50_rand_baseline", "50_random.txt")
+    marcher("250_rand_baseline", "250_random.txt")
+
+    t0 = time.time()
+    scene, camera, w, h = load_mitsuba(f"{REF}/tests/env_one_sphere_test_ortho.xml")
+    cfg = RenderConfig(width=512, height=512, env_samples=20)
+    img = q(render_raymarch_spheres(scene, camera, cfg))
+    g = read_ppm(f"{REF}/tests/renders/env_test_orthographic.ppm")
+    rows.append(("env_test_orthographic", "raymarch_spheres (mitsuba xml)",
+                 psnr(img, g), None, img.mean() - g.mean(), time.time() - t0))
+    print(f"  env_test_orthographic: {rows[-1][2]:.2f} dB", flush=True)
+
+    print("single scatter...", flush=True)
+    mc("7g_freeflight", "many_gaussians.txt", render_single_scatter)
+    mc("50_rand_ss", "50_random.txt", render_single_scatter)
+    mc("250_rand_ss", "250_random.txt", render_single_scatter)
+
+    print("multi scatter...", flush=True)
+    mc("50_rand_ms", "50_random.txt", render_multiscatter)
+    mc("250_rand_ms", "250_random.txt", render_multiscatter)
+    for sname, solver in [("newton", Solver.NEWTON),
+                          ("bisection", Solver.BISECTION),
+                          ("uniform", Solver.UNIFORM)]:
+        mc(f"250_rand_{sname}_big", "250_random.txt", render_multiscatter,
+           solver=solver, label=f"multiscatter {sname} 250_random.txt")
+
+    write_report(rows)
+
+
+def write_report(rows):
+    lines = [
+        "# PARITY — full-resolution golden comparison",
+        "",
+        f"512x512 renders vs `/root/reference/tests/renders/*.ppm`, "
+        f"MC at {SPP} spp (reference default), generated by "
+        "`scripts/parity_report.py`.",
+        "",
+        "For MC rows the golden carries its own 256-spp noise, so the bar is",
+        "`delta = self-PSNR - golden-PSNR <= 0.1 dB`: our render must match",
+        "the reference as closely as it matches an independent run of",
+        "itself (self-PSNR = seed-0 render vs seed-1 render).  Deterministic",
+        "marcher rows are direct PSNR.",
+        "",
+        "| golden | renderer | PSNR vs golden (dB) | self-PSNR (dB) | "
+        "delta (dB) | mean delta | bar |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, label, p_gold, p_self, dmean, secs in rows:
+        if p_self is None:
+            bar = "pass" if p_gold > 40.0 else "FAIL"
+            lines.append(f"| {name} | {label} | {p_gold:.2f} | — | — | "
+                         f"{dmean:+.4f} | {bar} (>40 dB) |")
+        else:
+            delta = p_self - p_gold
+            bar = "pass" if delta <= 0.1 else "FAIL"
+            lines.append(f"| {name} | {label} | {p_gold:.2f} | {p_self:.2f} "
+                         f"| {delta:+.3f} | {dmean:+.4f} | {bar} "
+                         f"(<=0.1 dB) |")
+    lines += ["", EXCLUDED, ""]
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PARITY.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    run()
