@@ -76,6 +76,10 @@ class RenderConfig:
     # TPU backends, 'on'/'off' force; 'interpret' runs it in interpreter
     # mode (CPU testing).
     pallas: str = "auto"
+    # engine: 'auto' picks dense VMEM kernel for small N and the uniform-grid
+    # regular-tracking wavefront (accel/grid.py) for big N; 'dense'/'grid'
+    # force.  The grid engine is the BVH replacement (gmm.h:231-578).
+    engine: str = "auto"
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,250 @@
+"""Grid regular-tracking wavefront: the big-N multi-scatter engine.
+
+Same estimator and RNG streams as ``integrators/multiscatter.py`` (one
+persistent lane per pixel, path regeneration, NEE each bounce, RR) but every
+transmittance/free-flight evaluation goes through the uniform-grid work-list
+machinery (``accel/grid.py`` + ``kernels/gridtrace.py``) instead of dense
+[rays, N] math:
+
+  per bounce:
+    1. DDA the extension rays into t-ordered cell crossings; tau pass over
+       cell-sorted items; per-ray cumulative tau -> escape probability and
+       the critical crossing (reference ``integrator.h:445-455``).
+    2. Solve pass on the critical cell (reference ``distance_solvers.h``),
+       producing scatter distance + mixture albedo.
+    3. NEE shadow rays -> another DDA + tau pass; Li assembly in XLA
+       (reference ``integrator.h:657-683``).
+
+Per-ray cost is proportional to the Gaussians along the ray (the reference's
+BVH property, ``gmm.h:452-578``), independent of ray coherence, because work
+items are grouped by *cell* before each kernel dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvr_tpu.config import RenderConfig
+from gvr_tpu.scene.scene import Scene
+from gvr_tpu.accel.grid import GridIndex, build_grid, dda_crossings, \
+    pad_sort_items
+from gvr_tpu.kernels.gridtrace import tau_pass, solve_pass, BLK
+from gvr_tpu.ops.sampling import path_uniforms
+from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
+
+NO_SCATTER = -1.0
+
+
+def _block_tables(grid: GridIndex, block_cell):
+    """Per-block (first_slice, n_slices) prefetch arrays; dead blocks
+    (cell -1) get nsl=0 so the kernel skips them."""
+    safe = jnp.clip(block_cell, 0, grid.n_cells - 1)
+    first = jnp.where(block_cell >= 0, grid.cell_first[safe], 0)
+    nsl = jnp.where(block_cell >= 0, grid.cell_nsl[safe], 0)
+    return first.astype(jnp.int32), nsl.astype(jnp.int32)
+
+
+def _bcast3(v, b, c):
+    """[B,3] -> three flat [B*C] arrays (dense broadcast, no gathers)."""
+    e = jnp.broadcast_to(v[:, None, :], (b, c, 3))
+    return [e[..., k].reshape(-1) for k in range(3)]
+
+
+def _pick(x, idx):
+    """take_along_axis over a small trailing axis as a one-hot reduction
+    (per-element gathers cost ~10ns/elem on TPU; this is dense VPU work)."""
+    onehot = jnp.arange(x.shape[-1], dtype=jnp.int32)[None, :] == idx[:, None]
+    return jnp.sum(jnp.where(onehot, x, 0 if x.dtype.kind != "f" else 0.0),
+                   axis=-1)
+
+
+def grid_tau_crossings(grid: GridIndex, o, d, tmax=None, interpret=False):
+    """Per-crossing optical depth, t-ordered.  Returns (tau [B,C],
+    cells [B,C], t_in [B,C], t_out [B,C]); invalid slots have tau 0."""
+    b = o.shape[0]
+    cells, t_in, t_out = dda_crossings(grid, o, d, tmax)
+    c = grid.c_max
+    payload = _bcast3(o, b, c) + _bcast3(d, b, c) + [
+        t_in.reshape(-1), t_out.reshape(-1)]
+    pay_f, block_cell, unsort = pad_sort_items(grid, cells.reshape(-1),
+                                               payload, BLK)
+    first, nsl = _block_tables(grid, block_cell)
+    items = jnp.stack(pay_f, axis=0)                            # [8, P]
+
+    tau_flat = tau_pass(grid.table, first, nsl, items, grid.s_cap,
+                        interpret=interpret)
+    tau = unsort(tau_flat).reshape(b, c)
+    tau = jnp.where(cells >= 0, tau, 0.0)
+    return tau, cells, t_in, t_out
+
+
+def grid_transmittance(grid: GridIndex, o, d, tmax=None, interpret=False):
+    """exp(-total tau up to tmax) — the NEE shadow/env transmittance
+    (reference ``gmm.h:517-578``)."""
+    tau, *_ = grid_tau_crossings(grid, o, d, tmax, interpret)
+    return jnp.exp(-jnp.sum(tau, axis=-1))
+
+
+def grid_free_flight(grid: GridIndex, o, d, u_tau, solver_iters=12,
+                     interpret=False):
+    """Free-flight sampling by grid regular tracking.
+
+    Returns (t_sc [B], scattered [B], albedo [B], tau_tot [B])."""
+    tau, cells, t_in, t_out = grid_tau_crossings(grid, o, d, None, interpret)
+    cum = jnp.cumsum(tau, axis=-1)
+    tau_tot = cum[:, -1]
+    target = -jnp.log(jnp.maximum(1.0 - u_tau, 1e-12))
+    scattered = tau_tot > target
+    tgt = jnp.minimum(target, tau_tot * 0.999999)
+
+    # first crossing where the running tau passes the target
+    crit = jnp.sum((cum < tgt[:, None]).astype(jnp.int32), axis=-1)
+    crit = jnp.clip(crit, 0, grid.c_max - 1)
+    cum_before = _pick(cum, crit) - _pick(tau, crit)
+    residual = jnp.maximum(tgt - cum_before, 0.0)
+    cell_c = _pick(cells, crit)
+    tin_c = _pick(t_in, crit)
+    tout_c = _pick(t_out, crit)
+
+    cells2 = jnp.where(scattered, cell_c, -1)
+    payload = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+               tin_c, tout_c, residual]
+    pay_f, block_cell2, unsort2 = pad_sort_items(grid, cells2, payload, BLK)
+    first2, nsl2 = _block_tables(grid, block_cell2)
+    p2 = block_cell2.shape[0] * BLK
+    items = jnp.concatenate([
+        jnp.stack(pay_f, axis=0),
+        jnp.zeros((7, p2), jnp.float32)], axis=0)               # [16, P2]
+    t_flat, alb_flat = solve_pass(grid.table, first2, nsl2, items,
+                                  grid.s_cap, solver_iters, interpret)
+    t_u, alb_u = unsort2(t_flat, alb_flat)
+    t_sc = jnp.where(scattered, t_u, NO_SCATTER)
+    albedo = jnp.where(scattered, alb_u, 0.0)
+    return t_sc, scattered, albedo, tau_tot
+
+
+def _nee_grid(scene: Scene, grid: GridIndex, pos, xi_choice, xi_light,
+              xi_env2, interpret=False):
+    """NEE with grid transmittance; same selection logic as
+    ``multiscatter._nee`` (integrator.h:657-683)."""
+    num_lights = scene.lights_p.shape[0]
+    wi_env = _dir_from_xi(xi_env2)
+
+    if num_lights == 0:
+        tr = grid_transmittance(grid, pos, wi_env, None, interpret)
+        return tr[:, None] * scene.env_color * FOUR_PI, 1.0
+
+    is_env = xi_choice < 1.0 / (num_lights + 1)
+    lidx = jnp.clip((xi_light * num_lights).astype(jnp.int32),
+                    0, num_lights - 1)
+    lp = scene.lights_p[lidx]
+    linten = scene.lights_i[lidx]
+    to_l = lp - pos
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    wi_l = to_l / jnp.maximum(dist, 1e-12)[:, None]
+
+    wi = jnp.where(is_env[:, None], wi_env, wi_l)
+    tmax = jnp.where(is_env, jnp.float32(1e8), dist)
+    tr = grid_transmittance(grid, pos, wi, tmax, interpret)
+
+    li_light = tr[:, None] * linten / jnp.maximum(dist * dist,
+                                                  1e-12)[:, None]
+    li_env = tr[:, None] * scene.env_color * FOUR_PI
+    li = jnp.where(is_env[:, None], li_env, li_light)
+    return li, float(num_lights + 1)
+
+
+def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
+                          cfg: RenderConfig, ids):
+    """Grid-engine counterpart of ``multiscatter.wavefront_pixels``: same
+    path regeneration, RNG streams, NEE and RR — estimator-identical."""
+    from gvr_tpu.integrators.multiscatter import strat_n
+
+    b = ids.shape[0]
+    w, h = cfg.width, cfg.height
+    x = ids % w
+    y = ids // w
+    n_strat = strat_n(cfg.spp)
+    interpret = cfg.pallas == "interpret"
+
+    def make_ray(sample_idx):
+        xi = path_uniforms(ids, sample_idx, 0x7FFF0000, 2, cfg.seed)
+        sx = (sample_idx % n_strat).astype(jnp.float32)
+        sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
+        u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n_strat) / w
+        v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n_strat) / h
+        return camera.sample_ray(jnp.stack([u, v], axis=-1))
+
+    def cond(state):
+        o, d, thr, acc, alive, sample, bounce, it = state
+        return jnp.any(alive | (sample < cfg.spp)) & (
+            it < cfg.spp * cfg.max_bounces + cfg.max_bounces)
+
+    def body(state):
+        o, d, thr, acc, alive, sample, bounce, it = state
+
+        regen = ~alive & (sample < cfg.spp)
+        o_n, d_n = make_ray(jnp.where(regen, sample, 0))
+        o = jnp.where(regen[:, None], o_n, o)
+        d = jnp.where(regen[:, None], d_n, d)
+        thr = jnp.where(regen[:, None], 1.0, thr)
+        bounce = jnp.where(regen, 0, bounce)
+        sample = jnp.where(regen, sample + 1, sample)
+        alive = alive | regen
+
+        xi = path_uniforms(ids, jnp.maximum(sample, 1) - 1, bounce, 9,
+                           cfg.seed)
+        t_sc, scattered, albedo, _ = grid_free_flight(
+            grid, o, d, xi[:, 0], cfg.solver_iters, interpret)
+
+        escaped = alive & ~scattered
+        acc = acc + jnp.where(escaped[:, None], thr * scene.env_color, 0.0)
+        alive_n = alive & scattered
+
+        pos = o + jnp.maximum(t_sc, 0.0)[:, None] * d
+        li, w_ne = _nee_grid(scene, grid, pos, xi[:, 1], xi[:, 2],
+                             xi[:, 3:5], interpret)
+        contrib = thr * (albedo * INV_4PI * w_ne)[:, None] * li
+        acc = acc + jnp.where(alive_n[:, None], contrib, 0.0)
+
+        thr_n = thr * albedo[:, None]
+        do_rr = bounce >= cfg.min_scatter
+        cap = jnp.where(bounce >= cfg.rr_tail_after, cfg.rr_cap_tail,
+                        cfg.rr_cap)
+        rr = jnp.minimum(jnp.max(thr_n, axis=-1), cap)
+        killed = do_rr & (xi[:, 5] > rr)
+        thr_n = jnp.where((do_rr & ~killed)[:, None],
+                          thr_n / jnp.maximum(rr, 1e-12)[:, None], thr_n)
+        alive_n = alive_n & ~killed & (bounce + 1 < cfg.max_bounces)
+
+        new_d = _dir_from_xi(xi[:, 6:8])
+        o = jnp.where(alive_n[:, None], pos, o)
+        d = jnp.where(alive_n[:, None], new_d, d)
+        thr = jnp.where(alive_n[:, None], thr_n, thr)
+        return (o, d, thr, acc, alive_n, sample, bounce + 1, it + 1)
+
+    zeros3 = jnp.zeros((b, 3))
+    state = (zeros3, jnp.ones((b, 3)), jnp.ones((b, 3)), zeros3,
+             jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
+             jnp.zeros(b, jnp.int32), jnp.int32(0))
+    *_, acc, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return acc / cfg.spp
+
+
+# scene-content -> GridIndex cache (host side; rebuilt when gaussians change)
+_GRID_CACHE: dict = {}
+
+
+def grid_for(gmm) -> GridIndex:
+    key = (gmm.n, float(np.asarray(gmm.mean).sum()),
+           float(np.asarray(gmm.density).sum()))
+    g = _GRID_CACHE.get(key)
+    if g is None:
+        g = build_grid(gmm)
+        _GRID_CACHE.clear()        # keep at most one (tables can be large)
+        _GRID_CACHE[key] = g
+    return g

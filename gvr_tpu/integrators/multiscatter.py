@@ -403,12 +403,52 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     return acc / cfg.spp
 
 
+def _mesh_shards(chunk: int) -> int:
+    """Number of devices the production render shards each pixel chunk
+    over (1 = single device).  Multi-chip SPMD over pixel ids — the
+    reference's OpenMP pixel loop (integrator.h:547) mapped to ICI."""
+    try:
+        n = len(jax.devices())
+    except Exception:
+        return 1
+    return n if n > 1 and chunk % n == 0 else 1
+
+
 @functools.lru_cache(maxsize=32)
-def _wavefront_fn(cfg: RenderConfig, static_lights):
+def _wavefront_fn(cfg: RenderConfig, static_lights, n_shards: int = 1):
     """Cached jitted wavefront chunk fn; scene and camera are traced, so
     turntable frames and fit iterations reuse one compilation."""
-    return jax.jit(lambda sc, cam, ids: wavefront_pixels(
-        sc, cam, cfg, ids, static_lights))
+    fn = lambda sc, cam, ids: wavefront_pixels(
+        sc, cam, cfg, ids, static_lights)
+    if n_shards > 1:
+        from gvr_tpu.parallel.sharding import make_mesh, shard_last_arg
+        fn = shard_last_arg(fn, make_mesh(jax.devices()[:n_shards]), 3)
+    return jax.jit(fn)
+
+
+# above this Gaussian count the uniform-grid engine wins over dense kernels
+# (measured on v5e: dense VMEM kernel best <= ~256, grid best >= ~600;
+# between them the chunk-streaming kernel and grid are close)
+GRID_MIN_N = 600
+
+
+def _grid_enabled(cfg: RenderConfig, n: int) -> bool:
+    if cfg.engine == "grid":
+        return True
+    if cfg.engine != "auto":
+        return False
+    return _pallas_enabled(cfg) and n > GRID_MIN_N
+
+
+@functools.lru_cache(maxsize=32)
+def _wavefront_grid_fn(cfg: RenderConfig, n_shards: int = 1):
+    from gvr_tpu.integrators.gridscatter import wavefront_pixels_grid
+    fn = lambda sc, grid, cam, ids: wavefront_pixels_grid(
+        sc, grid, cam, cfg, ids)
+    if n_shards > 1:
+        from gvr_tpu.parallel.sharding import make_mesh, shard_last_arg
+        fn = shard_last_arg(fn, make_mesh(jax.devices()[:n_shards]), 4)
+    return jax.jit(fn)
 
 
 def tile_order(w: int, h: int, tw: int = 16, th: int = 8) -> np.ndarray:
@@ -430,16 +470,29 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
     w, h = cfg.width, cfg.height
     order = tile_order(w, h)
 
-    static_lights = None
-    if _pallas_enabled(cfg):
-        static_lights = (
-            tuple(tuple(float(v) for v in r)
-                  for r in np.asarray(scene.lights_p)),
-            tuple(tuple(float(v) for v in r)
-                  for r in np.asarray(scene.lights_i)),
-            tuple(float(v) for v in np.asarray(scene.env_color)))
-    fn = _wavefront_fn(cfg, static_lights)
-    chunk = pick_chunk(cfg, scene.medium.n)
+    use_grid = _grid_enabled(cfg, scene.medium.n)
+    chunk_probe = min(cfg.ray_chunk, 1 << 15) if use_grid \
+        else pick_chunk(cfg, scene.medium.n)
+    chunk_probe = min(chunk_probe, ((w * h + 255) // 256) * 256)
+    n_shards = _mesh_shards(chunk_probe)
+    if use_grid:
+        from gvr_tpu.integrators.gridscatter import grid_for
+        grid = grid_for(scene.medium)
+        fn_g = _wavefront_grid_fn(cfg, n_shards)
+        fn = lambda sc, cam, ids: fn_g(sc, grid, cam, ids)
+    else:
+        static_lights = None
+        if _pallas_enabled(cfg):
+            static_lights = (
+                tuple(tuple(float(v) for v in r)
+                      for r in np.asarray(scene.lights_p)),
+                tuple(tuple(float(v) for v in r)
+                      for r in np.asarray(scene.lights_i)),
+                tuple(float(v) for v in np.asarray(scene.env_color)))
+        fn = _wavefront_fn(cfg, static_lights, n_shards)
+    # the grid engine never materializes [rays, N]; its working set scales
+    # with rays x crossings, so the chunk is independent of N
+    chunk = chunk_probe
     acc = np.zeros((w * h, 3), np.float32)
     for start in range(0, w * h, chunk):
         stop = min(start + chunk, w * h)

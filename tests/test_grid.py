@@ -1,0 +1,172 @@
+"""Grid acceleration structure + grid regular-tracking engine tests.
+
+The grid (accel/grid.py) replaces the reference BVH (gmm.h:231-578); these
+tests pin the exactness contract: crossings tile the ray, per-crossing taus
+sum to the dense closed form, the critical-cell solve finds the same root as
+the global dense solver, and the full grid wavefront reproduces the XLA
+engine's radiance.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gvr_tpu.scene.scene import parse_gmm
+from gvr_tpu.scene.generators import random_gaussian_scene
+from gvr_tpu.accel.grid import build_grid, dda_crossings, pad_sort_items, H
+from gvr_tpu.integrators.gridscatter import (
+    grid_tau_crossings, grid_transmittance, grid_free_flight,
+    wavefront_pixels_grid)
+from gvr_tpu.ops.transmittance import tau_coeffs, tau_total, \
+    transmittance_up_to, albedo_at_from_rg
+from gvr_tpu.ops.solvers import sample_free_flight
+from gvr_tpu.config import RenderConfig, Solver
+
+
+@pytest.fixture(scope="module")
+def scene():
+    # wide diameter range -> gaussians spanning multiple cells
+    txt = random_gaussian_scene(120, seed=3, diameter=(0.05, 0.9))
+    return parse_gmm(txt)
+
+
+@pytest.fixture(scope="module")
+def grid(scene):
+    return build_grid(scene.medium)
+
+
+@pytest.fixture(scope="module")
+def rays():
+    rng = np.random.default_rng(7)
+    o = rng.uniform([-2.5, -1.0, -2.5], [2.5, 3.0, 2.5], (256, 3))
+    d = rng.normal(size=(256, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def test_grid_build_covers_all_gaussians(scene, grid):
+    # every gaussian id appears in the table at least once, and every
+    # non-padding table row matches a real feature row
+    tab = np.asarray(grid.table).reshape(-1, 16)
+    real = tab[tab[:, 12] > 0.0]
+    means = np.asarray(scene.medium.mean)
+    # match rows to gaussians by mean columns (13-15)
+    d = np.linalg.norm(real[:, None, 13:16] - means[None], axis=-1)
+    nearest = d.min(axis=1)
+    assert nearest.max() < 1e-5
+    covered = np.unique(d.argmin(axis=1))
+    assert covered.size == scene.medium.n
+
+
+def test_dda_crossings_tile_the_ray(grid, rays):
+    o, d = rays
+    cells, t_in, t_out = (np.asarray(a) for a in dda_crossings(grid, o, d))
+    for r in range(0, 256, 7):
+        valid = cells[r] >= 0
+        if not valid.any():
+            continue
+        ti, to = t_in[r][valid], t_out[r][valid]
+        # contiguous, ordered, non-degenerate
+        assert (to >= ti - 1e-5).all()
+        if ti.size > 1:
+            assert np.abs(ti[1:] - to[:-1]).max() < 1e-3
+        # midpoints actually lie in the claimed cell
+        mid = o[r][None] + 0.5 * (ti + to)[:, None] * np.asarray(d[r])[None]
+        side = np.asarray(grid.side)
+        idx = np.clip(((mid - np.asarray(grid.lo))
+                       * np.asarray(grid.inv_cell)).astype(int), 0, side - 1)
+        cid = (idx[:, 0] * side[1] + idx[:, 1]) * side[2] + idx[:, 2]
+        assert (cid == cells[r][valid]).mean() > 0.97  # boundary-point slack
+
+
+def test_worklist_blocks_are_single_cell(grid, rays):
+    o, d = rays
+    cells, _, _ = dda_crossings(grid, o, d)
+    flat = cells.reshape(-1)
+    # marker i+1 identifies item i; dummies carry payload 0
+    marker = jnp.arange(1, flat.shape[0] + 1, dtype=jnp.float32)
+    pay_f, block_cell, unsort = pad_sort_items(grid, flat, [marker])
+    sorted_marker = np.asarray(pay_f[0]).astype(np.int64)
+    block_cell = np.asarray(block_cell)
+    flat_np = np.asarray(flat)
+
+    # round trip: unsorting the carried marker restores item order
+    back = np.asarray(unsort(pay_f[0]))
+    np.testing.assert_array_equal(back, np.asarray(marker))
+
+    # every valid item lands in exactly one block, and that block's cell is
+    # the item's cell
+    seen = np.zeros(flat_np.size, bool)
+    for b in range(sorted_marker.size // 128):
+        items = sorted_marker[b * 128:(b + 1) * 128]
+        items = items[items > 0] - 1
+        if block_cell[b] < 0:
+            assert all(flat_np[i] < 0 for i in items)
+            continue
+        for i in items:
+            assert flat_np[i] == block_cell[b]
+            assert not seen[i]
+            seen[i] = True
+    assert seen[flat_np >= 0].all()
+
+
+def test_grid_tau_matches_dense(scene, grid, rays):
+    o, d = rays
+    tau, cells, _, _ = grid_tau_crossings(grid, o, d, None, True)
+    total = np.asarray(jnp.sum(tau, axis=-1))
+    rg = tau_coeffs(scene.medium, o, d)
+    dense = np.asarray(tau_total(rg))
+    np.testing.assert_allclose(total, dense, rtol=2e-3, atol=2e-5)
+
+
+def test_grid_transmittance_matches_dense(scene, grid, rays):
+    o, d = rays
+    tmax = jnp.linspace(0.3, 6.0, o.shape[0])
+    tr = np.asarray(grid_transmittance(grid, o, d, tmax, True))
+    ref = np.asarray(transmittance_up_to(scene.medium, o, d, tmax))
+    np.testing.assert_allclose(tr, ref, rtol=2e-3, atol=2e-5)
+
+
+def test_grid_free_flight_matches_dense_root(scene, grid, rays):
+    o, d = rays
+    u = jnp.asarray(np.random.default_rng(11).uniform(0.01, 0.99,
+                                                      o.shape[0]),
+                    jnp.float32)
+    t_g, sc_g, alb_g, tau_tot = grid_free_flight(grid, o, d, u, 16, True)
+    rg = tau_coeffs(scene.medium, o, d)
+    target = -jnp.log(jnp.maximum(1.0 - u, 1e-12))
+    t_d, sc_d = sample_free_flight(rg, target, Solver.NEWTON, 24)
+    alb_d = albedo_at_from_rg(rg, scene.medium.albedo, t_d)
+    sc_g, sc_d = np.asarray(sc_g), np.asarray(sc_d)
+    assert (sc_g == sc_d).mean() > 0.995     # boundary targets may flip
+    both = sc_g & sc_d
+    t_g, t_d = np.asarray(t_g), np.asarray(t_d)
+    np.testing.assert_allclose(t_g[both], t_d[both], rtol=5e-3, atol=5e-4)
+    match = np.isclose(t_g, t_d, rtol=1e-3, atol=1e-4)[both]
+    alb_g, alb_d = np.asarray(alb_g)[both], np.asarray(alb_d)[both]
+    np.testing.assert_allclose(alb_g[match[: alb_g.size]],
+                               alb_d[match[: alb_d.size]],
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_grid_wavefront_matches_xla_engine(scene, grid):
+    """Full-engine equivalence: same RNG streams, same estimator — images
+    agree in the mean (per-pixel diffs are chaotic MC divergence)."""
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.integrators.multiscatter import wavefront_pixels
+
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    cfg = RenderConfig(width=24, height=24, spp=4, pallas="off",
+                       solver=Solver.NEWTON, solver_iters=16)
+    ids = jnp.arange(24 * 24, dtype=jnp.int32)
+    ref = np.asarray(wavefront_pixels(scene, cam, cfg, ids))
+    got = np.asarray(wavefront_pixels_grid(
+        scene, grid, cam, cfg.replace(pallas="interpret"), ids))
+    assert np.isfinite(got).all()
+    # estimator-identical: most pixels bitwise-close, means tight
+    close = np.isclose(got, ref, rtol=1e-3, atol=1e-3).mean()
+    assert close > 0.95, f"only {close:.3f} of pixels match"
+    np.testing.assert_allclose(got.mean(), ref.mean(), rtol=2e-2)
