@@ -55,6 +55,20 @@ def sharded_render_fn(radiance_fn: Callable, mesh: Mesh) -> Callable:
     return wrapped
 
 
+def shard_last_arg(fn: Callable, mesh: Mesh, n_args: int) -> Callable:
+    """Wrap ``fn(*replicated_args, ids) -> [B,3]`` so the trailing ray-id
+    batch (and the output) are sharded over the mesh; everything else
+    (scene, grid index, camera) is replicated.  This is the production
+    multi-chip forward path: radiance is bitwise shard-invariant because
+    RNG streams are keyed by pixel id (ops/sampling.path_uniforms)."""
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(P() for _ in range(n_args - 1)) + (P(RAY_AXIS),),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+
+
 def sharded_value_and_grad(loss_fn: Callable, mesh: Mesh) -> Callable:
     """value_and_grad of ``loss_fn(params, scene_template, rays..., targets)``
     with rays/targets sharded over the mesh and the gradient psum-reduced —

@@ -44,6 +44,25 @@ def test_sharded_render_matches_single_device(mesh):
     np.testing.assert_allclose(sharded, single, atol=2e-6)
 
 
+def test_production_render_is_shard_invariant(mesh):
+    """render_multiscatter auto-shards over all visible devices; the image
+    must match the single-device wavefront bitwise-ish (same RNG streams,
+    keyed by pixel id)."""
+    from gvr_tpu.integrators.multiscatter import (
+        render_multiscatter, _wavefront_fn, _mesh_shards, tile_order)
+
+    scene = parse_gmm(SCENE)
+    cfg = RenderConfig(width=16, height=16, spp=2, pallas="off")
+    assert _mesh_shards(256) == 8     # the production path really shards
+    img = np.asarray(render_multiscatter(scene, CAM, cfg))
+
+    ids = jnp.asarray(tile_order(16, 16))
+    single = np.asarray(_wavefront_fn(cfg, None, 1)(scene, CAM, ids))
+    ref = np.zeros_like(single)
+    ref[np.asarray(ids)] = single
+    np.testing.assert_allclose(img.reshape(-1, 3), ref, atol=2e-6)
+
+
 def test_sharded_grads_match_unsharded(mesh):
     scene = parse_gmm(SCENE)
     params = scene.medium.pack_parameters()
