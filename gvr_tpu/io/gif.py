@@ -1,14 +1,17 @@
 """GIF89a writer for turntable animations.
 
 Counterpart of the vendored ``gif-h`` used by the reference
-(``tests/main.cpp:77-115``).  Two backends:
+(``tests/main.cpp:77-115``).  Like gif-h, every frame gets an **adaptive
+per-frame palette** (median cut over the frame's 15-bit color histogram,
+nearest-color mapping through a 32^3 LUT) written as a local color table —
+smooth volumetric gradients don't band the way a fixed color cube does.
+Two backends:
 
 * native C++ encoder (gvr_tpu/native, full LZW) when built;
-* pure-Python fallback using a fixed 6x7x6 color cube and the
-  *literal-code* LZW stream (every pixel emitted as its own 9-bit code with
-  periodic clear codes).  The literal stream is valid LZW that any decoder
-  accepts; it trades file size for fully-vectorized numpy encoding — no
-  per-pixel Python loop.
+* pure-Python fallback emitting the *literal-code* LZW stream (every pixel
+  as its own 9-bit code with periodic clear codes).  The literal stream is
+  valid LZW that any decoder accepts; it trades file size for
+  fully-vectorized numpy encoding — no per-pixel Python loop.
 """
 
 from __future__ import annotations
@@ -20,24 +23,88 @@ from gvr_tpu.native import loader as _native
 
 def write_gif(path: str, frames, delay_cs: int = 3) -> None:
     """frames: iterable of float [H,W,3] images in [0,1]."""
+    from gvr_tpu.io.ppm import quantize
+
     frames = list(frames)
     if not frames:
         raise ValueError("no frames")
     h, w = np.asarray(frames[0]).shape[:2]
 
     nat = _native.lib()
-    if nat is not None:
-        handle = nat.gif_begin(path, w, h, delay_cs)
-        if handle:
-            from gvr_tpu.io.ppm import rgba_buffer
-            ok = True
-            for fr in frames:
-                ok = ok and nat.gif_frame(handle, rgba_buffer(np.asarray(fr)))
-            ok = nat.gif_end(handle) and ok
-            if ok:
-                return
+    use_native = nat is not None and nat.has_indexed_gif
+    handle = nat.gif_begin(path, w, h, delay_cs) if use_native else None
+    if use_native and not handle:
+        use_native = False
+
+    if use_native:
+        ok = True
+        for fr in frames:
+            u8 = quantize(np.asarray(fr))
+            pal = adaptive_palette(u8)
+            idx = palette_indices(u8, pal)
+            ok = ok and nat.gif_frame_indexed(handle, idx, pal)
+        ok = nat.gif_end(handle) and ok
+        if ok:
+            return
 
     _write_gif_python(path, frames, w, h, delay_cs)
+
+
+# -----------------------------------------------------------------------------
+# Adaptive palette (median cut), the gif-h quality model
+# -----------------------------------------------------------------------------
+
+def adaptive_palette(u8: np.ndarray, n_colors: int = 256) -> np.ndarray:
+    """Median-cut palette [256,3] uint8 for one frame.
+
+    Operates on the 15-bit (5/5/5) color histogram: boxes are repeatedly
+    split at the count-weighted median of their widest axis; each box's
+    color is its count-weighted mean.  Fully vectorized per split."""
+    q = (u8.reshape(-1, 3) >> 3).astype(np.int32)
+    codes = (q[:, 0] << 10) | (q[:, 1] << 5) | q[:, 2]
+    uniq, counts = np.unique(codes, return_counts=True)
+    cols = np.stack([(uniq >> 10) & 31, (uniq >> 5) & 31, uniq & 31],
+                    axis=-1).astype(np.float32)
+    w = counts.astype(np.float64)
+
+    boxes = [np.arange(uniq.size)]
+    while len(boxes) < n_colors:
+        # split the box with the largest weighted extent
+        best, best_score, best_axis = -1, 0.0, 0
+        for i, b in enumerate(boxes):
+            if b.size < 2:
+                continue
+            ext = cols[b].max(axis=0) - cols[b].min(axis=0)
+            axis = int(ext.argmax())
+            score = float(ext[axis]) * float(w[b].sum())
+            if score > best_score:
+                best, best_score, best_axis = i, score, axis
+        if best < 0:
+            break
+        b = boxes[best]
+        order = b[np.argsort(cols[b, best_axis], kind="stable")]
+        cw = np.cumsum(w[order])
+        split = int(np.searchsorted(cw, cw[-1] * 0.5)) + 1
+        split = min(max(split, 1), b.size - 1)
+        boxes[best] = order[:split]
+        boxes.append(order[split:])
+
+    pal = np.zeros((256, 3), np.uint8)
+    for i, b in enumerate(boxes):
+        c = (cols[b] * w[b, None]).sum(axis=0) / w[b].sum()
+        pal[i] = np.clip(c * 8.0 + 4.0, 0, 255).astype(np.uint8)
+    return pal
+
+
+def palette_indices(u8: np.ndarray, pal: np.ndarray) -> np.ndarray:
+    """Nearest-palette-color indices [H,W] uint8 via a 32^3 LUT (one
+    32768 x 256 distance table per frame, then a pure table lookup)."""
+    grid = np.stack(np.meshgrid(*([np.arange(32)] * 3), indexing="ij"),
+                    axis=-1).reshape(-1, 3).astype(np.float32) * 8.0 + 4.0
+    d = ((grid[:, None, :] - pal[None].astype(np.float32)) ** 2).sum(-1)
+    lut = d.argmin(axis=1).astype(np.uint8)                   # [32768]
+    q = (u8 >> 3).astype(np.int32)
+    return lut[(q[..., 0] << 10) | (q[..., 1] << 5) | q[..., 2]]
 
 
 # -----------------------------------------------------------------------------
@@ -113,26 +180,27 @@ def _sub_blocks(data: bytes) -> bytes:
 def _write_gif_python(path, frames, w, h, delay_cs):
     from gvr_tpu.io.ppm import quantize
 
-    pal = _palette_676()
     with open(path, "wb") as f:
         f.write(b"GIF89a")
         # logical screen descriptor: global color table, 8-bit, 256 entries
         f.write(np.array([w, h], "<u2").tobytes())
         f.write(bytes([0xF7, 0, 0]))
-        f.write(pal.tobytes())
+        f.write(_palette_676().tobytes())
         # netscape looping extension
         f.write(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
         for fr in frames:
             u8 = quantize(np.asarray(fr))
-            idx = _quantize_676(u8)
+            pal = adaptive_palette(u8)
+            idx = palette_indices(u8, pal)
             # graphic control extension
             f.write(b"\x21\xf9\x04\x04")
             f.write(np.array([delay_cs], "<u2").tobytes())
             f.write(b"\x00\x00")
-            # image descriptor
+            # image descriptor with a local color table (adaptive per frame)
             f.write(b"\x2c")
             f.write(np.array([0, 0, w, h], "<u2").tobytes())
-            f.write(b"\x00")
+            f.write(bytes([0x87]))
+            f.write(pal.tobytes())
             # LZW min code size + data sub-blocks
             f.write(bytes([8]))
             f.write(_sub_blocks(_lzw_literal_stream(idx)))

@@ -169,10 +169,33 @@ void* gvr_gif_begin(const char* path, int w, int h, int delay_cs) {
     return g;
 }
 
+// frame header (GCE + image descriptor) and LZW body, shared by the
+// fixed-palette and adaptive-palette entry points
+static void gif_frame_header(GifWriterState* g, const uint8_t* local_pal) {
+    FILE* f = g->f;
+    const uint8_t gce[] = {0x21, 0xf9, 0x04, 0x04};
+    fwrite(gce, 1, sizeof(gce), f);
+    write_u16(f, g->delay);
+    fputc(0, f);
+    fputc(0, f);
+    fputc(0x2c, f);
+    write_u16(f, 0);
+    write_u16(f, 0);
+    write_u16(f, g->w);
+    write_u16(f, g->h);
+    if (local_pal) {
+        fputc(0x87, f);  // local color table, 256 entries
+        fwrite(local_pal, 1, 256 * 3, f);
+    } else {
+        fputc(0, f);
+    }
+}
+
+static void gif_lzw_body(GifWriterState* g, const uint8_t* idx, long npix);
+
 int gvr_gif_frame(void* handle, const unsigned char* rgba) {
     GifWriterState* g = (GifWriterState*)handle;
     if (!g || !g->f) return -1;
-    FILE* f = g->f;
     const long npix = (long)g->w * g->h;
 
     // quantize to the 6x7x6 cube
@@ -183,21 +206,24 @@ int gvr_gif_frame(void* handle, const unsigned char* rgba) {
         int b = (rgba[4 * i + 2] * 5 + 127) / 255;
         idx[i] = (uint8_t)(r * 42 + gq * 6 + b);
     }
+    gif_frame_header(g, nullptr);
+    gif_lzw_body(g, idx.data(), npix);
+    return 0;
+}
 
-    // graphic control extension
-    const uint8_t gce[] = {0x21, 0xf9, 0x04, 0x04};
-    fwrite(gce, 1, sizeof(gce), f);
-    write_u16(f, g->delay);
-    fputc(0, f);
-    fputc(0, f);
-    // image descriptor
-    fputc(0x2c, f);
-    write_u16(f, 0);
-    write_u16(f, 0);
-    write_u16(f, g->w);
-    write_u16(f, g->h);
-    fputc(0, f);
+// adaptive per-frame palette path (gif-h quality model): caller supplies
+// palette indices + a 256-entry local color table
+int gvr_gif_frame_indexed(void* handle, const unsigned char* idx,
+                          const unsigned char* pal768) {
+    GifWriterState* g = (GifWriterState*)handle;
+    if (!g || !g->f) return -1;
+    gif_frame_header(g, pal768);
+    gif_lzw_body(g, idx, (long)g->w * g->h);
+    return 0;
+}
 
+static void gif_lzw_body(GifWriterState* g, const uint8_t* idx, long npix) {
+    FILE* f = g->f;
     // --- LZW compress ---
     const int MIN_CODE = 8;
     const int CLEAR = 1 << MIN_CODE;        // 256
@@ -254,7 +280,6 @@ int gvr_gif_frame(void* handle, const unsigned char* rgba) {
     gif_put_bits(g, END, code_width);
     gif_finish_bits(g);
     fputc(0, f);  // block terminator
-    return 0;
 }
 
 int gvr_gif_end(void* handle) {

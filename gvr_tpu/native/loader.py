@@ -45,6 +45,11 @@ class NativeLib:
         self._lib.gvr_gif_frame.restype = ctypes.c_int
         self._lib.gvr_gif_frame.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)]
+        if hasattr(self._lib, "gvr_gif_frame_indexed"):
+            self._lib.gvr_gif_frame_indexed.restype = ctypes.c_int
+            self._lib.gvr_gif_frame_indexed.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_ubyte)]
         self._lib.gvr_gif_end.restype = ctypes.c_int
         self._lib.gvr_gif_end.argtypes = [ctypes.c_void_p]
         self._lib.gvr_parse_scene.restype = ctypes.c_int
@@ -82,6 +87,23 @@ class NativeLib:
         buf = np.ascontiguousarray(rgba_u8)
         ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
         return self._lib.gvr_gif_frame(handle, ptr) == 0
+
+    @property
+    def has_indexed_gif(self) -> bool:
+        return hasattr(self._lib, "gvr_gif_frame_indexed")
+
+    def gif_frame_indexed(self, handle, idx_u8: np.ndarray,
+                          pal_u8: np.ndarray) -> bool:
+        """Adaptive-palette frame: 8-bit palette indices + a [256,3] local
+        color table (see io/gif.adaptive_palette)."""
+        if not hasattr(self._lib, "gvr_gif_frame_indexed"):
+            raise AttributeError("native lib predates gif_frame_indexed; "
+                                 "rebuild with python -m gvr_tpu.native.build")
+        idx = np.ascontiguousarray(idx_u8, np.uint8)
+        pal = np.ascontiguousarray(pal_u8, np.uint8)
+        return self._lib.gvr_gif_frame_indexed(
+            handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            pal.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))) == 0
 
     def gif_end(self, handle) -> bool:
         return self._lib.gvr_gif_end(handle) == 0

@@ -78,6 +78,60 @@ def test_native_gif_decodes(tmp_path):
     assert np.abs(decoded - frames[0]).max() < 0.12
 
 
+def test_adaptive_palette_beats_fixed_cube(tmp_path):
+    """gif-h builds adaptive per-frame palettes; ours must too — a smooth
+    volumetric-style gradient should show far less banding than the fixed
+    6x7x6 cube (VERDICT r1 'GIF palette quality')."""
+    from PIL import Image
+    from gvr_tpu.io.gif import write_gif, adaptive_palette, palette_indices
+    from gvr_tpu.io.ppm import quantize
+
+    y, x = np.mgrid[0:48, 0:64].astype(np.float32)
+    frame = np.stack([x / 64 * 0.5 + 0.2, y / 48 * 0.4 + 0.3,
+                      np.full_like(x, 0.55)], axis=-1)
+
+    u8 = quantize(frame)
+    pal = adaptive_palette(u8)
+    idx = palette_indices(u8, pal)
+    err_adaptive = np.abs(pal[idx].astype(np.float32) / 255.0 - frame).max()
+    assert err_adaptive < 0.02          # fixed cube errs up to ~0.1 here
+
+    p = str(tmp_path / "grad.gif")
+    write_gif(p, [frame, frame * 0.5], delay_cs=4)
+    im = Image.open(p)
+    decoded = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    assert np.abs(decoded - frame).max() < 0.03
+
+
+def test_native_gif_indexed_decodes(tmp_path):
+    """The adaptive-palette native path (local color tables) must decode."""
+    lib = _ensure_built()
+    if not lib.has_indexed_gif:
+        import pytest
+        pytest.skip("native lib built without gif_frame_indexed")
+    from PIL import Image
+    from gvr_tpu.io.gif import adaptive_palette, palette_indices
+    from gvr_tpu.io.ppm import quantize
+
+    rng = np.random.default_rng(5)
+    frames = [rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+              for _ in range(2)]
+    p = str(tmp_path / "ni.gif")
+    h = lib.gif_begin(p, 56, 40, 4)
+    assert h
+    for fr in frames:
+        u8 = quantize(fr)
+        pal = adaptive_palette(u8)
+        assert lib.gif_frame_indexed(h, palette_indices(u8, pal), pal)
+    assert lib.gif_end(h)
+
+    im = Image.open(p)
+    assert getattr(im, "n_frames", 1) == 2
+    decoded = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    # random noise is the adaptive palette's worst case; just bound sanity
+    assert np.abs(decoded - frames[0]).mean() < 0.08
+
+
 def test_python_gif_decodes(tmp_path):
     """The pure-Python literal-LZW fallback must also decode correctly."""
     from PIL import Image
@@ -91,4 +145,6 @@ def test_python_gif_decodes(tmp_path):
     assert im.size == (32, 24)
     assert getattr(im, "n_frames", 1) == 2
     decoded = np.asarray(im.convert("RGB"), np.float32) / 255.0
-    assert np.abs(decoded - frames[0]).max() < 0.12
+    # adaptive palettes have no fixed per-pixel bound on pure noise (the
+    # worst case for any 256-color quantizer); bound the mean instead
+    assert np.abs(decoded - frames[0]).mean() < 0.06
