@@ -54,9 +54,16 @@ def cmd_render(args):
                        pallas=args.pallas)
     is_gmm = isinstance(scene.medium, GaussianMixture)
 
+    cfg = cfg.replace(engine=args.engine)
+    stats = None
+    if args.stats or args.trace:
+        from gvr_tpu.utils.profiling import RenderStats
+        stats = RenderStats()
+
     t0 = time.time()
     if args.integrator == "multiscatter":
-        img = render_multiscatter(scene, camera, cfg, progress=args.verbose)
+        img = render_multiscatter(scene, camera, cfg, progress=args.verbose,
+                                  stats=stats, trace_dir=args.trace)
     elif args.integrator == "singlescatter":
         img = render_single_scatter(scene, camera, cfg)
     elif args.integrator == "raymarch":
@@ -67,6 +74,8 @@ def cmd_render(args):
     else:
         raise SystemExit(f"unknown integrator {args.integrator}")
     print(f"Render time: {time.time() - t0:.3f} seconds")
+    if stats is not None and stats.spans:
+        print(stats.report())
     write_ppm(args.output, img)
     print(f"wrote {args.output}")
 
@@ -140,6 +149,14 @@ def main(argv=None):
                              "uniform"])
     pr.add_argument("--pallas", default="auto",
                     choices=["auto", "on", "off", "interpret"])
+    pr.add_argument("--engine", default="auto",
+                    choices=["auto", "dense", "grid"],
+                    help="multiscatter engine (grid = uniform-grid "
+                         "regular tracking for big Gaussian sets)")
+    pr.add_argument("--stats", action="store_true",
+                    help="print per-chunk span report after rendering")
+    pr.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a jax.profiler trace to DIR")
     pr.add_argument("-v", "--verbose", action="store_true")
     pr.set_defaults(fn=cmd_render)
 

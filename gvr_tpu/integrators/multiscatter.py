@@ -162,13 +162,15 @@ def multiscatter_radiance(scene: Scene, origin, direction, rng_ids,
 
 def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
                                cfg: RenderConfig, n_bounces: int = 4,
-                               sample=0, seed: int = 0):
+                               sample=0, seed: int = 0,
+                               candidate_k: int = 0,
+                               rr_after: int = 0, rr_cap: float = 0.9):
     """Differentiable multi-scatter estimator for inverse rendering.
 
     Differences from the forward flagship (both documented, both unbiased):
 
     * fixed-trip ``lax.scan`` over ``n_bounces`` (reverse-mode AD cannot
-      differentiate ``while_loop``), no Russian roulette;
+      differentiate ``while_loop``);
     * *analytic escape*: instead of sampling the escape event, every bounce
       adds ``thr * exp(-tau_total) * env`` in closed form and conditions the
       free-flight sample on scattering (target = -log(1 - u*(1-T_esc))).
@@ -177,16 +179,28 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
       function theorem (``solve_conditional_free_flight``), the
       reparameterized replacement for the reference's stochastic finite
       differences (inverse_integrator.h).
+    * ``candidate_k > 0``: the free-flight solve and albedo run on the
+      k nearest-entering hit Gaussians per ray (``compact_candidates``,
+      differentiable gathers) — [B,k] instead of [B,N] solver work, the
+      scaling lever for fitting hundreds+ of Gaussians.
+    * ``rr_after > 0``: Russian roulette from that bounce on (reference
+      integrator.h:691-695), with a stop-gradient survival probability so
+      the reweighting stays an unbiased gradient estimator.  With RR the
+      truncation bias of the fixed-trip scan decays geometrically in
+      ``n_bounces`` instead of being O(residual throughput).
     """
     gmm = scene.medium
     b = origin.shape[0]
+    use_compact = 0 < candidate_k < gmm.n
 
-    def uniforms(bounce, n=8):
+    def uniforms(bounce, n=9):
         return path_uniforms(rng_ids, sample, bounce, n, seed)
 
     def body(state, bounce):
         o, d, thr, rad, alive = state
         rg = tau_coeffs(gmm, o, d)
+        if use_compact:
+            rg, alb_k, _ = compact_candidates(rg, gmm.albedo, candidate_k)
         xi = uniforms(bounce)
 
         tau_tot = tau_total(rg)
@@ -206,15 +220,28 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
         # sanitize dead lanes so masked NaNs can't leak into reverse-mode
         t_sc = jnp.where(alive_n, t_sc, 0.0)
         pos = o + t_sc[:, None] * d
-        tsg = jax.lax.stop_gradient(t_sc)[:, None]
-        active = rg.hit & (rg.t0 <= tsg) & (tsg <= rg.t1)
-        albedo = gmm.albedo_at(pos, active)
+        if use_compact:
+            albedo = albedo_at_from_rg(rg, alb_k, t_sc)
+        else:
+            tsg = jax.lax.stop_gradient(t_sc)[:, None]
+            active = rg.hit & (rg.t0 <= tsg) & (tsg <= rg.t1)
+            albedo = gmm.albedo_at(pos, active)
 
         li, w_ne = _nee(scene, gmm, pos, xi[:, 1], xi[:, 2], xi[:, 3:5])
         contrib = thr * (albedo * INV_4PI * w_ne)[:, None] * li
         rad = rad + jnp.where(alive_n[:, None], contrib, 0.0)
 
         thr = thr * albedo[:, None]
+
+        if rr_after > 0:
+            do_rr = bounce >= rr_after
+            surv = jax.lax.stop_gradient(
+                jnp.minimum(jnp.max(thr, axis=-1), rr_cap))
+            killed = do_rr & (xi[:, 5] > surv)
+            thr = jnp.where((do_rr & ~killed)[:, None],
+                            thr / jnp.maximum(surv, 1e-12)[:, None], thr)
+            alive_n = alive_n & ~killed
+
         new_d = _dir_from_xi(xi[:, 6:8])
         o = jnp.where(alive_n[:, None], pos, o)
         d = jnp.where(alive_n[:, None], new_d, d)
@@ -463,10 +490,19 @@ def tile_order(w: int, h: int, tw: int = 16, th: int = 8) -> np.ndarray:
 
 
 def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
-                        progress=False) -> np.ndarray:
+                        progress=False, stats=None,
+                        trace_dir: str | None = None) -> np.ndarray:
     """Full MC render: all spp per pixel in one wavefront dispatch per
     pixel chunk (path regeneration keeps lanes busy across samples).
-    Pixels are traced in tile order for ray-block spatial coherence."""
+    Pixels are traced in tile order for ray-block spatial coherence.
+
+    stats: optional utils.profiling.RenderStats — collects per-chunk spans
+    (engine, shards, Mrays/s).  trace_dir: optional jax.profiler trace
+    output directory (per-kernel timeline; no-op on backends without
+    profiling support)."""
+    from gvr_tpu.utils.profiling import device_trace, mrays_per_sec
+    import time as _time
+
     w, h = cfg.width, cfg.height
     order = tile_order(w, h)
 
@@ -494,14 +530,30 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
     # with rays x crossings, so the chunk is independent of N
     chunk = chunk_probe
     acc = np.zeros((w * h, 3), np.float32)
-    for start in range(0, w * h, chunk):
-        stop = min(start + chunk, w * h)
-        ids = order[start:stop]
-        if len(ids) < chunk:
-            ids = np.concatenate([ids, np.full(chunk - len(ids), ids[-1],
-                                               np.int32)])
-        vals = np.asarray(fn(scene, camera, jnp.asarray(ids)))
-        acc[order[start:stop]] = vals[: stop - start]
-        if progress:
-            print(f"  pixels {stop}/{w * h}")
+    engine = "grid" if use_grid else (
+        "pallas" if _pallas_enabled(cfg) else "xla")
+    t_render = _time.time()
+    with device_trace(trace_dir):
+        for start in range(0, w * h, chunk):
+            stop = min(start + chunk, w * h)
+            ids = order[start:stop]
+            if len(ids) < chunk:
+                ids = np.concatenate([ids, np.full(chunk - len(ids),
+                                                   ids[-1], np.int32)])
+            t0 = _time.time()
+            vals = np.asarray(fn(scene, camera, jnp.asarray(ids)))
+            if stats is not None:
+                dt = _time.time() - t0
+                stats.add("chunk", dt, pixels=int(stop - start),
+                          paths=int((stop - start) * cfg.spp),
+                          engine=engine, shards=n_shards)
+            acc[order[start:stop]] = vals[: stop - start]
+            if progress:
+                print(f"  pixels {stop}/{w * h}")
+    if stats is not None:
+        dt = _time.time() - t_render
+        stats.add("render_multiscatter", dt, engine=engine,
+                  shards=n_shards, n=scene.medium.n,
+                  paths=w * h * cfg.spp,
+                  mpaths_per_s=round(mrays_per_sec(w * h * cfg.spp, dt), 3))
     return acc.reshape(h, w, 3)

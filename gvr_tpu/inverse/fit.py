@@ -45,7 +45,7 @@ class FitState:
 
 def fit_loss(params, scene_template: Scene, origin, direction, rng_ids,
              target, n_bounces: int = 4, spp: int = 1, loss: str = "l2_dual",
-             seed=0):
+             seed=0, candidate_k: int = 0, rr_after: int = 0):
     """Loss between the differentiable estimate and target radiance for a
     ray batch.  ``seed`` may be traced (e.g. the iteration index) to refresh
     the MC streams every optimizer step.
@@ -65,7 +65,9 @@ def fit_loss(params, scene_template: Scene, origin, direction, rng_ids,
     def render(si):
         return multiscatter_radiance_diff(scene, origin, direction, rng_ids,
                                           None, n_bounces=n_bounces,
-                                          sample=si, seed=seed)
+                                          sample=si, seed=seed,
+                                          candidate_k=candidate_k,
+                                          rr_after=rr_after)
 
     if loss == "l2_dual":
         x1 = jnp.mean(jax.vmap(render)(jnp.arange(spp) * 2), axis=0)
@@ -98,10 +100,15 @@ def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
                   spp: int = 2,
                   mesh=None,
                   log: Callable = print,
-                  save_snapshot: Optional[Callable] = None) -> Scene:
+                  save_snapshot: Optional[Callable] = None,
+                  candidate_k: int = 0,
+                  rr_after: int = 0) -> Scene:
     """Run the Adam fit.  Returns the optimized scene.
 
     target_img: [H,W,3] float.  save_snapshot(iteration, scene) optional.
+    candidate_k > 0 compacts the differentiable solver to the k
+    nearest-entering Gaussians per ray (the big-scene scaling lever);
+    rr_after > 0 enables Russian roulette from that bounce on.
     """
     h, w = target_img.shape[:2]
     params = scene_init.medium.pack_parameters()
@@ -114,7 +121,8 @@ def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
 
     def loss_fn(p, template, o, d, rng_ids, tgt, seed):
         return fit_loss(p, template, o, d, rng_ids, tgt,
-                        n_bounces=n_bounces, spp=spp, seed=seed)
+                        n_bounces=n_bounces, spp=spp, seed=seed,
+                        candidate_k=candidate_k, rr_after=rr_after)
 
     vg = sharded_value_and_grad(loss_fn, mesh)
 

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gvr_tpu.kernels.pathtrace import _erf, _coeffs, _interval, SQRT_HALF, BIG
+from gvr_tpu.kernels.pathtrace import (_erf, _erf_from_exp, _coeffs,
+                                       _interval, SQRT_HALF, BIG)
 from gvr_tpu.accel.grid import H
 
 BLK = 128   # items per block (one lane tile)
@@ -208,17 +209,6 @@ def _make_solve_kernel(s_cap, solver_iters):
             del t_in
 
     return kernel
-
-
-def _erf_from_exp(x, expx2):
-    """A&S 7.1.26 erf with the exp(-x^2) factor supplied by the caller
-    (shared with the extinction evaluation in the Newton body)."""
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    y = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - y * expx2)
 
 
 @functools.partial(jax.jit, static_argnames=("s_cap", "solver_iters",

@@ -61,12 +61,20 @@ BIG = 1e30
 def _erf(x):
     """erf via Abramowitz-Stegun 7.1.26 (|abs err| <= 1.5e-7): Pallas TPU
     has no erf lowering.  ~6 FMAs + one exp on the VPU."""
+    return _erf_from_exp(x, jnp.exp(-x * x))
+
+
+def _erf_from_exp(x, expx2):
+    """A&S 7.1.26 erf with the exp(-x^2) factor supplied by the caller.
+    In the Newton solver the same exponential is the Gaussian's extinction
+    profile exp(-z^2/2) at z = x*sqrt(2) — sharing it saves one
+    transcendental per (gaussian, ray) per iteration."""
     s = jnp.sign(x)
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * ax)
     y = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - y * jnp.exp(-ax * ax))
+    return s * (1.0 - y * expx2)
 
 
 def pallas_available() -> bool:
@@ -194,12 +202,13 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights):
         def newton_body(_, st):
             lo, hi, t = st
             z = sa * t + zoff                                 # [N, blk]
-            ferf = _erf(z * SQRT_HALF)
+            ez = jnp.exp(-0.5 * z * z)    # shared: erf factor == extinction
+            ferf = _erf_from_exp(z * SQRT_HALF, ez)
             seg = jnp.where(t >= t1m, tau_i, pref * (ferf - erf_lo))
             seg = jnp.where(t > t0m, seg, 0.0)
             tau = jnp.sum(seg, axis=0, keepdims=True)
             inside = (t >= t0m) & (t <= t1m)
-            rho = jnp.where(inside & ok, peak * jnp.exp(-0.5 * z * z), 0.0)
+            rho = jnp.where(inside & ok, peak * ez, 0.0)
             sig = jnp.sum(rho, axis=0, keepdims=True)
             f = tau - tgt
             lo = jnp.where(f < 0.0, t, lo)

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gvr_tpu.scene.gaussians import GaussianMixture, R_CUT
-from gvr_tpu.kernels.pathtrace import _erf, SQRT_HALF, FOUR_PI, BIG
+from gvr_tpu.kernels.pathtrace import (_erf, _erf_from_exp, SQRT_HALF,
+                                       FOUR_PI, BIG)
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -203,12 +204,13 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
             def newton_body(_, st):
                 lo, hi, t = st
                 z = ssa * t + szoff
-                ferf = _erf(z * SQRT_HALF)
+                ez = jnp.exp(-0.5 * z * z)
+                ferf = _erf_from_exp(z * SQRT_HALF, ez)
                 seg = jnp.where(t >= st1, staui, spref * (ferf - serflo))
                 seg = jnp.where(t > st0, seg, 0.0)
                 tau = jnp.sum(seg, axis=1, keepdims=True)
                 inside = (t >= st0) & (t <= st1)
-                rho = jnp.where(inside, speak * jnp.exp(-0.5 * z * z), 0.0)
+                rho = jnp.where(inside, speak * ez, 0.0)
                 sig = jnp.sum(rho, axis=1, keepdims=True)
                 f = tau - tgt
                 lo = jnp.where(f < 0.0, t, lo)

@@ -126,6 +126,51 @@ def test_short_fit_improves_render(tmp_path):
     assert p1 > p0 + 2.0, (p0, p1)   # observed: 33.8 -> 39.1 dB
 
 
+def test_fit_scales_to_250_gaussians(tmp_path):
+    """Scaling proof (VERDICT r1 item 7): candidate-compacted differentiable
+    solver + RR tail fits a perturbed 250-Gaussian scene — the loss must
+    drop and the render must move toward the target."""
+    from gvr_tpu.scene.scene import load_gmm
+    from gvr_tpu.scene.generators import random_gaussian_scene
+    from gvr_tpu.integrators.multiscatter import multiscatter_radiance_diff
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.utils.image import psnr
+
+    scene_true = load_gmm("/root/reference/scenes/gaussians/250_random.txt")
+    w = h = 16
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    o, d, rng_ids = _pixel_rays(CAM, w, h, ids)
+    f = jax.jit(lambda si: multiscatter_radiance_diff(
+        scene_true, o, d, rng_ids, None, n_bounces=3, sample=si,
+        seed=13579, candidate_k=32))
+    target = np.mean([np.asarray(f(jnp.int32(si))) for si in range(16)],
+                     axis=0).reshape(h, w, 3)
+
+    p = np.asarray(scene_true.medium.pack_parameters()).copy()
+    p += np.random.default_rng(7).normal(0, 0.1, p.shape).astype(np.float32)
+    scene_init = scene_true.with_medium(
+        GaussianMixture.from_parameters(jnp.asarray(p)))
+
+    losses = []
+    cfg = FitConfig(max_iters=40, save_every=20, lr=8e-3,
+                    checkpoint_every=0, out_dir=str(tmp_path))
+    fitted = fit_gaussians(
+        scene_init, CAM, target, cfg, batch_pixels=w * h, n_bounces=3,
+        spp=2, candidate_k=32, rr_after=2,
+        log=lambda msg: losses.append(msg))
+
+    g0 = jax.jit(lambda sc, si: multiscatter_radiance_diff(
+        sc, o, d, rng_ids, None, n_bounces=3, sample=si, seed=24680,
+        candidate_k=32))
+    def render(sc):
+        return np.mean([np.asarray(g0(sc, jnp.int32(si)))
+                        for si in range(8)], axis=0).reshape(h, w, 3)
+    p_init = psnr(render(scene_init), target)
+    p_fit = psnr(render(fitted), target)
+    assert np.isfinite(p_fit)
+    assert p_fit > p_init + 0.5, (p_init, p_fit)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import optax
     scene = parse_gmm(SCENE)
