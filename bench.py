@@ -28,6 +28,9 @@ TARGET_MRAYS = 100.0
 
 
 def main():
+    from gvr_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
     import jax
     from gvr_tpu.scene.scene import load_gmm
     from gvr_tpu.cameras import PinholeCamera
@@ -42,9 +45,11 @@ def main():
 
     rays_per_path = path_statistics(scene, camera, cfg)["rays_per_path"]
 
-    # warmup (compile)
-    warm = cfg.replace(width=SIZE, height=SIZE, spp=1)
-    render_multiscatter(scene, camera, warm)
+    # warmup with the IDENTICAL config: cfg is a static jit argument, so a
+    # cheaper warm config (e.g. spp=1) compiles a different program and the
+    # timed run would pay the full compile (observed ~2 min for the grid
+    # engine) — the round-1 numbers underestimated steady state this way.
+    render_multiscatter(scene, camera, cfg)
 
     t0 = time.time()
     img = render_multiscatter(scene, camera, cfg)

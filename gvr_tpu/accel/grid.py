@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-H = 32  # gaussians per table slice (sublane tile height)
+H = 32    # gaussians per solve-table slice (sublane tile height)
+H2 = 128  # gaussians per span-table slice (lane tile width)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -58,17 +59,27 @@ class GridIndex:
     table: jnp.ndarray
     cell_first: jnp.ndarray
     cell_nsl: jnp.ndarray
+    slice_cell: jnp.ndarray
+    table2: jnp.ndarray
+    cell_first2: jnp.ndarray
+    cell_nsl2: jnp.ndarray
+    slice_cell2: jnp.ndarray
     lo: jnp.ndarray
     cell: jnp.ndarray
     inv_cell: jnp.ndarray
     side: tuple
     s_cap: int
     n_slices: int
+    lo_t: tuple = ()        # static copies for kernel compile-time use
+    cell_t: tuple = ()
 
     def tree_flatten(self):
         leaves = (self.table, self.cell_first, self.cell_nsl,
+                  self.slice_cell, self.table2, self.cell_first2,
+                  self.cell_nsl2, self.slice_cell2,
                   self.lo, self.cell, self.inv_cell)
-        return leaves, (self.side, self.s_cap, self.n_slices)
+        return leaves, (self.side, self.s_cap, self.n_slices,
+                        self.lo_t, self.cell_t)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -81,9 +92,11 @@ class GridIndex:
 
     @property
     def c_max(self) -> int:
-        """Hard bound on cell crossings per ray (3D-DDA visits at most
-        sx+sy+sz+1 cells; +1 margin)."""
-        return sum(self.side) + 2
+        """Crossing slots per ray: one interval between each consecutive
+        pair of the 3*(side+1) axis-plane boundary times (clipped; padded
+        to an even boundary count for the sorting network)."""
+        r = sum(self.side) + 3
+        return r + (r % 2) - 1
 
 
 def _feature_rows(gmm) -> np.ndarray:
@@ -131,10 +144,12 @@ def _bin_gaussians(i0, i1, sy: int, sz: int):
 
 
 def choose_side(bmin, bmax, lo, hi) -> int:
-    """Pick the grid resolution minimizing estimated per-ray kernel work:
-    crossings (~1.5*side) times the slice-quantized cell occupancy, plus a
-    mild penalty on the max slices per cell (skew: deep cells slow the
-    critical-cell solve and add dead pipeline steps)."""
+    """Pick the grid resolution minimizing estimated per-ray cost in
+    kernel-eval units: crossings (~1.5*side) times the slice-quantized
+    cell occupancy, plus the sort/scan cost of the work-list slots (every
+    static crossing slot and per-cell dummy rides the item sorts —
+    measured ~65 eval-equivalents per slot on v5e), plus a mild skew
+    penalty (deep cells slow the critical-cell solve)."""
     best, best_cost = 2, float("inf")
     for side in range(2, 17):
         cell = (hi - lo) / side
@@ -144,7 +159,9 @@ def choose_side(bmin, bmax, lo, hi) -> int:
         counts = np.bincount(cell_ids, minlength=side ** 3)
         padded = float((((counts + H - 1) // H) * H).sum())
         s_cap = int(max((counts.max() + H - 1) // H, 1))
-        cost = 1.5 * side * padded / side ** 3 + 48.0 * s_cap
+        evals = 1.5 * side * padded / side ** 3
+        sort_slots = 3 * side + 3 + side ** 3 * 127 / 32768.0
+        cost = evals + 65.0 * sort_slots + 16.0 * s_cap
         if cost < best_cost:
             best, best_cost = side, cost
     return best
@@ -180,7 +197,10 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
     order = np.argsort(cell_ids, kind="stable")
     rows = _feature_rows(gmm)
     pad = _benign_pad_row()
-    table = np.tile(pad, (s_total + s_cap, H, 1)).astype(np.float32)
+    # tail padding covers both the clamped index map (s_cap) and the
+    # span kernel's FETCH-chunk over-read
+    s_pad = max(s_cap, 8)
+    table = np.tile(pad, (s_total + s_pad, H, 1)).astype(np.float32)
     sorted_cells = cell_ids[order]
     sorted_g = g_ids[order]
     # rank within cell
@@ -190,18 +210,50 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
     slot = first[sorted_cells] * H + rank             # row in flat table
     flat = table.reshape(-1, 16)
     flat[slot] = rows[sorted_g]
-    table = flat.reshape(s_total + s_cap, H, 16)
+    table = flat.reshape(s_total + s_pad, H, 16)
+
+    # cell owning each table slice (-1 for padding slices)
+    slice_cell = np.full(s_total + s_pad, -1, np.int32)
+    for_c = np.repeat(np.arange(sx * sy * sz), nsl)
+    slice_cell[: s_total] = for_c
+
+    # second packing for the span-fetch tau kernel: slices of H2=128
+    # gaussians on lanes, features on sublanes ([S2, 16, 128] — the minor
+    # dim must be 128 for HBM DMA slicing).  Same cell runs, coarser
+    # quantization.
+    nsl2 = (counts + H2 - 1) // H2
+    first2 = np.zeros_like(nsl2)
+    first2[1:] = np.cumsum(nsl2)[:-1]
+    s2_total = int(nsl2.sum())
+    s2_pad = 8
+    tbl = np.zeros((s2_total + s2_pad, H2, 16), np.float32)
+    tbl[:, :, 0:3] = 1.0                              # benign padding
+    slot2 = first2[sorted_cells] * H2 + (
+        np.arange(cell_ids.size) - cum[sorted_cells])
+    flat2 = tbl.reshape(-1, 16)
+    flat2[slot2] = rows[sorted_g]
+    table2 = np.ascontiguousarray(np.moveaxis(
+        flat2.reshape(s2_total + s2_pad, H2, 16), 1, 2))
+    slice_cell2 = np.full(s2_total + s2_pad, -1, np.int32)
+    slice_cell2[: s2_total] = np.repeat(np.arange(sx * sy * sz), nsl2)
 
     return GridIndex(
         table=jnp.asarray(table),
         cell_first=jnp.asarray(first.astype(np.int32)),
         cell_nsl=jnp.asarray(nsl.astype(np.int32)),
+        slice_cell=jnp.asarray(slice_cell),
+        table2=jnp.asarray(table2),
+        cell_first2=jnp.asarray(first2.astype(np.int32)),
+        cell_nsl2=jnp.asarray(nsl2.astype(np.int32)),
+        slice_cell2=jnp.asarray(slice_cell2),
         lo=jnp.asarray(lo, jnp.float32),
         cell=jnp.asarray(cell, jnp.float32),
         inv_cell=jnp.asarray(1.0 / cell, jnp.float32),
         side=(sx, sy, sz),
         s_cap=s_cap,
         n_slices=s_total,
+        lo_t=tuple(float(v) for v in lo),
+        cell_t=tuple(float(v) for v in cell),
     )
 
 
@@ -209,17 +261,45 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
 # 3D-DDA cell crossings (jit-traced, batched)
 # -----------------------------------------------------------------------------
 
+def _oddeven_sort_rows(ts):
+    """Sort a small, even row count along axis 0 with an odd-even
+    transposition network — dense min/max passes only.  (XLA's sort on
+    these shapes measured ~100 ms at [39, 32k] on v5e; this is ~r dense
+    passes over the array.)"""
+    r, b = ts.shape
+    for p in range(r):
+        if p % 2 == 0:
+            pairs = ts.reshape(r // 2, 2, b)
+            ts = jnp.stack([jnp.min(pairs, axis=1),
+                            jnp.max(pairs, axis=1)], axis=1).reshape(r, b)
+        else:
+            mid = ts[1:r - 1].reshape((r - 2) // 2, 2, b)
+            ts = jnp.concatenate([
+                ts[:1],
+                jnp.stack([jnp.min(mid, axis=1),
+                           jnp.max(mid, axis=1)], axis=1).reshape(r - 2, b),
+                ts[r - 1:]], axis=0)
+    return ts
+
+
 def dda_crossings(grid: GridIndex, origin, direction, tmax=None):
     """t-ordered cell crossings for a ray batch.
 
     origin/direction [B,3]; optional tmax [B] clip (shadow rays).
     Returns (cells [B,C] int32 with -1 for unused slots, t_in [B,C],
     t_out [B,C]).  C = grid.c_max, a hard bound — no overflow is possible.
+
+    Vectorized formulation (a sequential 3D-DDA ``lax.scan`` measured
+    ~170 ms at 32k rays on v5e — per-step scan overhead dominates): the
+    crossing boundaries are exactly the ray's axis-plane intersection
+    times.  Compute all 3*(side+1) of them, clip to [t_enter, t_exit],
+    sort along the (sublane) boundary axis, and read cells off interval
+    midpoints.  Zero-length intervals (clipped or coincident planes) are
+    marked invalid; coverage is exact by construction.
     """
     b = origin.shape[0]
-    c_max = grid.c_max
+    sx, sy, sz = grid.side
     side = jnp.asarray(grid.side, jnp.int32)
-    sgn = jnp.where(direction >= 0.0, 1, -1).astype(jnp.int32)     # [B,3]
     d_safe = jnp.where(jnp.abs(direction) > 1e-12, direction,
                        jnp.where(direction >= 0, 1e-12, -1e-12))
     inv_d = 1.0 / d_safe
@@ -228,44 +308,35 @@ def dda_crossings(grid: GridIndex, origin, direction, tmax=None):
     ghi = grid.lo + grid.cell * jnp.asarray(grid.side, jnp.float32)
     ta = (glo - origin) * inv_d
     tb = (ghi - origin) * inv_d
-    t_enter = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t_enter = jnp.maximum(jnp.max(jnp.minimum(ta, tb), axis=-1), 0.0)
     t_exit = jnp.min(jnp.maximum(ta, tb), axis=-1)
-    t_enter = jnp.maximum(t_enter, 0.0)
     if tmax is not None:
         t_exit = jnp.minimum(t_exit, tmax)
-    inside = t_enter < t_exit
+    t_exit = jnp.maximum(t_exit, t_enter)                        # [B]
 
-    # entry cell
-    p = origin + (t_enter[:, None] + 1e-6) * direction
-    idx = jnp.clip(((p - glo) * grid.inv_cell).astype(jnp.int32),
-                   0, side - 1)                                     # [B,3]
+    # all axis-plane boundary times, clipped into the traversal range
+    planes = []
+    for ax, n_ax in ((0, sx), (1, sy), (2, sz)):
+        i = jnp.arange(n_ax + 1, dtype=jnp.float32)[:, None]     # [n+1, 1]
+        t_pl = (glo[ax] + i * grid.cell[ax] - origin[None, :, ax]) \
+            * inv_d[None, :, ax]                                 # [n+1, B]
+        planes.append(t_pl)
+    ts = jnp.concatenate(planes, axis=0)                         # [3s+3, B]
+    if ts.shape[0] % 2:                                          # even rows
+        ts = jnp.concatenate([ts, ts[-1:]], axis=0)
+    ts = jnp.clip(ts, t_enter[None, :], t_exit[None, :])
+    ts = _oddeven_sort_rows(ts)
 
-    # per-axis t of next boundary + per-cell t increment
-    t_delta = jnp.abs(grid.cell * inv_d)                            # [B,3]
-    next_bound = glo + (idx + (sgn > 0)).astype(jnp.float32) * grid.cell
-    t_next = (next_bound - origin) * inv_d                          # [B,3]
-
-    def step(state, _):
-        idx, t_next, t_cur, alive = state
-        axis = jnp.argmin(t_next, axis=-1)                          # [B]
-        t_hit = jnp.min(t_next, axis=-1)
-        t_hi = jnp.minimum(t_hit, t_exit)
-        cid = (idx[:, 0] * side[1] + idx[:, 1]) * side[2] + idx[:, 2]
-        valid = alive & (t_cur < t_hi)
-        out = (jnp.where(valid, cid, -1),
-               jnp.where(valid, t_cur, 0.0),
-               jnp.where(valid, t_hi, 0.0))
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        idx_n = idx + onehot * sgn
-        t_next_n = t_next + onehot.astype(t_next.dtype) * t_delta
-        in_bounds = jnp.all((idx_n >= 0) & (idx_n < side), axis=-1)
-        alive_n = alive & in_bounds & (t_hit < t_exit)
-        return (idx_n, t_next_n, jnp.maximum(t_cur, t_hit), alive_n), out
-
-    state = (idx, t_next, t_enter, inside)
-    _, (cells, t_in, t_out) = jax.lax.scan(step, state, None, length=c_max)
-    return (jnp.moveaxis(cells, 0, 1), jnp.moveaxis(t_in, 0, 1),
-            jnp.moveaxis(t_out, 0, 1))
+    t_in = ts[:-1]                                               # [C, B]
+    t_out = ts[1:]
+    mid = origin[None] + (0.5 * (t_in + t_out))[..., None] * direction[None]
+    idx = jnp.clip(((mid - glo) * grid.inv_cell).astype(jnp.int32),
+                   0, side - 1)                                  # [C, B, 3]
+    cid = (idx[..., 0] * side[1] + idx[..., 1]) * side[2] + idx[..., 2]
+    valid = t_out > t_in
+    cells = jnp.where(valid, cid, -1)
+    return (cells.T, jnp.where(valid, t_in, 0.0).T,
+            jnp.where(valid, t_out, 0.0).T)
 
 
 # -----------------------------------------------------------------------------
@@ -282,71 +353,100 @@ def dda_crossings(grid: GridIndex, origin, direction, tmax=None):
 # kernel outputs is a third sort keyed by the carried item id.
 
 
-def _run_starts(key):
-    """Index of the first element of each equal-key run (sorted input)."""
-    m = key.shape[0]
-    iota = jnp.arange(m, dtype=jnp.int32)
-    boundary = jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]])
-    return jax.lax.cummax(jnp.where(boundary, iota, 0))
+def sort_items(grid: GridIndex, cells, payload, blk: int = 512):
+    """Sort work items by cell, **without padding**: blocks are simply
+    ``blk`` consecutive sorted items that may span several adjacent cells.
+    The span-fetch tau kernel (kernels/gridtrace.tau_pass) streams the
+    covered slice range and masks per item cell.
+
+    cells [M] int32 (-1 = invalid); payload: list of [M] arrays.
+    Returns (cell_sorted [P] int32, payload_sorted, s_lo [NB], n_sl [NB],
+    unsort) with P = M rounded up to blk.  s_lo/n_sl delimit each block's
+    table-slice span (n_sl = 0 for fully-dead blocks)."""
+    m = cells.shape[0]
+    c = grid.n_cells
+    p = ((m + blk - 1) // blk) * blk
+    pad = p - m
+
+    key = jnp.pad(jnp.where(cells >= 0, cells, c), (0, pad),
+                  constant_values=c)
+    item_id = jnp.pad(jnp.arange(m, dtype=jnp.int32), (0, pad),
+                      constant_values=m)
+    ops = [key, item_id] + [
+        jnp.pad(jnp.asarray(q, jnp.float32), (0, pad)) for q in payload]
+    s = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    key_s, id_s, *pay_s = s
+
+    # per-block slice span from the min/max valid cell in the block
+    kb = key_s.reshape(-1, blk)
+    valid = kb < c
+    c_min = jnp.min(jnp.where(valid, kb, c), axis=1)
+    c_max_ = jnp.max(jnp.where(valid, kb, -1), axis=1)
+    any_v = jnp.any(valid, axis=1)
+    safe_min = jnp.clip(c_min, 0, c - 1)
+    safe_max = jnp.clip(c_max_, 0, c - 1)
+    s_lo = jnp.where(any_v, grid.cell_first2[safe_min], 0)
+    s_hi = jnp.where(any_v, grid.cell_first2[safe_max]
+                     + grid.cell_nsl2[safe_max], 0)
+    n_sl = (s_hi - s_lo).astype(jnp.int32)
+
+    def unsort(*xs_sorted):
+        s3 = jax.lax.sort([id_s] + list(xs_sorted), num_keys=1,
+                          is_stable=True)
+        outs = [x[:m] for x in s3[1:]]
+        return outs[0] if len(outs) == 1 else outs
+
+    return key_s, pay_s, s_lo.astype(jnp.int32), n_sl, unsort
 
 
 def pad_sort_items(grid: GridIndex, cells, payload, blk: int = 128):
-    """Sort items by cell and pad every cell run to a multiple of ``blk``.
+    """Sort items by cell and pad every cell run to a multiple of ``blk``
+    (single-cell blocks, for the critical-cell solve kernel).
 
     cells [M] int32 (-1 = invalid item); payload: list of [M] float arrays
-    to carry.  Returns (payload_sorted [k, P], block_cell [NB], tau_unsort)
-    where P = M + n_cells*(blk-1) rounded to blk, block_cell[b] is the cell
-    all live items of block b share (-1 for dead blocks), and
-    ``tau_unsort(x_sorted [P]) -> [M]`` restores item order (via one more
-    sort).  Every live block's items share one cell — the contract the
-    scalar-prefetch kernels rely on.
-    """
+    to carry.  Returns (payload_sorted [k, P], block_cell [NB], unsort).
+
+    The per-cell pad requirement comes from an M-scale scatter-add
+    histogram — fine at solve-pass sizes (one item per scattered ray).
+    All other machinery is sorts and dense ops; no scans, no per-item
+    gathers (both measured pathologically slow on this backend)."""
     m = cells.shape[0]
     c = grid.n_cells
+    cells_v = jnp.where(cells >= 0, cells, c)
+    counts = jnp.zeros(c + 1, jnp.int32).at[cells_v].add(1)
+    need = jnp.where(jnp.arange(c + 1) < c,
+                     (-counts) % blk, 0)                  # dummies to keep
+
     n_dummy = c * (blk - 1)
     mp = m + n_dummy
     p = ((mp + blk - 1) // blk) * blk
     pad_tail = p - mp
 
-    iota_c = jnp.arange(n_dummy, dtype=jnp.int32) // (blk - 1)
-    cell_all = jnp.concatenate([jnp.where(cells >= 0, cells, c), iota_c])
-    is_dummy = jnp.concatenate([jnp.zeros(m, jnp.int32),
-                                jnp.ones(n_dummy, jnp.int32)])
-    # items of cell c (invalid) sort last; within a cell dummies sort after
-    # real items
-    key = cell_all * 2 + is_dummy
-    item_id = jnp.concatenate([
-        jnp.arange(m, dtype=jnp.int32),
-        jnp.full(n_dummy, m, jnp.int32)])
-    ops = [key, cell_all, is_dummy, item_id] + [
+    # dummy j of cell c is kept iff j < need[c]; computed BEFORE the sort
+    # so one stable sort arranges [real | kept dummies] runs, padded runs
+    # exactly to blk, dropped dummies and invalid items at the tail
+    d_cell = jnp.arange(n_dummy, dtype=jnp.int32) // (blk - 1)
+    d_rank = jnp.arange(n_dummy, dtype=jnp.int32) % (blk - 1)
+    d_keep = d_rank < need[:c].repeat(blk - 1)
+    key_real = jnp.where(cells >= 0, cells * 2, 2 * c + 2)
+    key_dummy = jnp.where(d_keep, d_cell * 2 + 1, 2 * c + 2)
+    key = jnp.concatenate([key_real, key_dummy])
+    cell_all = jnp.concatenate([cells_v, d_cell])
+    item_id = jnp.concatenate([jnp.arange(m, dtype=jnp.int32),
+                               jnp.full(n_dummy, m, jnp.int32)])
+    ops = [key, cell_all, item_id] + [
         jnp.concatenate([jnp.asarray(q, jnp.float32),
                          jnp.zeros(n_dummy, jnp.float32)]) for q in payload]
     ops = [jnp.pad(q, (0, pad_tail)) for q in ops]
-    # tail pad: key sorts last
     ops[0] = ops[0].at[mp:].set(2 * c + 2)
-    ops[3] = ops[3].at[mp:].set(m)
+    ops[2] = ops[2].at[mp:].set(m)
 
     s = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    key_s, cell_s, dummy_s, id_s, *pay_s = s
-
-    iota = jnp.arange(p, dtype=jnp.int32)
-    rs_key = _run_starts(key_s)          # start of my (cell, real|dummy) run
-    rs_cell = _run_starts(cell_s)        # start of my cell run
-    real_len = rs_key - rs_cell          # for dummies: # real items in cell
-    need = (-real_len) % blk
-    rank_d = iota - rs_key
-    keep = jnp.where(dummy_s > 0, rank_d < need, key_s < 2 * c)
-
-    # compaction: stable sort by drop flag
-    drop = (1 - keep.astype(jnp.int32))
-    s2 = jax.lax.sort([drop, cell_s, id_s] + list(pay_s),
-                      num_keys=1, is_stable=True)
-    _, cell_f, id_f, *pay_f = s2
-    k_total = jnp.sum(keep.astype(jnp.int32))
+    key_s, cell_f, id_f, *pay_f = s
 
     nb = p // blk
-    live = (jnp.arange(nb) * blk) < k_total
-    block_cell = jnp.where(live, cell_f[:: blk][:nb], -1)
+    live = key_s[::blk][:nb] < 2 * c
+    block_cell = jnp.where(live, cell_f[::blk][:nb], -1)
 
     def unsort(*xs_sorted):
         """Map kernel outputs back to original item order (one sort)."""

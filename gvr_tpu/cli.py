@@ -131,6 +131,9 @@ def cmd_fit(args):
 
 
 def main(argv=None):
+    from gvr_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
     ap = argparse.ArgumentParser(prog="gvr_tpu",
                                  description="TPU Gaussian volume renderer")
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -31,8 +31,9 @@ import numpy as np
 from gvr_tpu.config import RenderConfig
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.accel.grid import GridIndex, build_grid, dda_crossings, \
-    pad_sort_items
-from gvr_tpu.kernels.gridtrace import tau_pass, solve_pass, BLK
+    pad_sort_items, sort_items
+from gvr_tpu.kernels.gridtrace import solve_pass, span_tau_pass, BLK, \
+    TAU_BLK
 from gvr_tpu.ops.sampling import path_uniforms
 from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
 
@@ -64,19 +65,28 @@ def _pick(x, idx):
 
 def grid_tau_crossings(grid: GridIndex, o, d, tmax=None, interpret=False):
     """Per-crossing optical depth, t-ordered.  Returns (tau [B,C],
-    cells [B,C], t_in [B,C], t_out [B,C]); invalid slots have tau 0."""
+    cells [B,C], t_in [B,C], t_out [B,C]); invalid slots have tau 0.
+
+    Work items are cell-sorted (one lax.sort carrying the payload) and fed
+    to the span-fetch kernel in blocks of TAU_BLK consecutive items; the
+    crossing intervals are recomputed in-kernel from the cell boxes, so
+    items carry only (o, d, tmax)."""
     b = o.shape[0]
     cells, t_in, t_out = dda_crossings(grid, o, d, tmax)
     c = grid.c_max
-    payload = _bcast3(o, b, c) + _bcast3(d, b, c) + [
-        t_in.reshape(-1), t_out.reshape(-1)]
-    pay_f, block_cell, unsort = pad_sort_items(grid, cells.reshape(-1),
-                                               payload, BLK)
-    first, nsl = _block_tables(grid, block_cell)
-    items = jnp.stack(pay_f, axis=0)                            # [8, P]
+    tm = jnp.full(b, 1e8, jnp.float32) if tmax is None \
+        else jnp.asarray(tmax, jnp.float32)
+    tm_b = jnp.broadcast_to(tm[:, None], (b, c)).reshape(-1)
+    payload = _bcast3(o, b, c) + _bcast3(d, b, c) + [tm_b]
+    cell_s, pay_s, s_lo, n_sl, unsort = sort_items(
+        grid, cells.reshape(-1), payload, TAU_BLK)
+    p = cell_s.shape[0]
+    items = jnp.stack(list(pay_s) + [jnp.zeros(p, jnp.float32)], axis=-1)
+    icell = cell_s[:, None]
 
-    tau_flat = tau_pass(grid.table, first, nsl, items, grid.s_cap,
-                        interpret=interpret)
+    tau_flat = span_tau_pass(grid.table2, s_lo, n_sl, grid.slice_cell2,
+                             items, icell, grid.side, grid.lo_t,
+                             grid.cell_t, interpret=interpret)
     tau = unsort(tau_flat).reshape(b, c)
     tau = jnp.where(cells >= 0, tau, 0.0)
     return tau, cells, t_in, t_out
@@ -95,6 +105,16 @@ def grid_free_flight(grid: GridIndex, o, d, u_tau, solver_iters=12,
 
     Returns (t_sc [B], scattered [B], albedo [B], tau_tot [B])."""
     tau, cells, t_in, t_out = grid_tau_crossings(grid, o, d, None, interpret)
+    return grid_solve_from_crossings(grid, o, d, tau, cells, t_in, t_out,
+                                     u_tau, solver_iters, interpret)
+
+
+def grid_solve_from_crossings(grid: GridIndex, o, d, tau, cells, t_in,
+                              t_out, u_tau, solver_iters=12,
+                              interpret=False):
+    """Critical-crossing search + in-cell Newton solve, given per-crossing
+    taus (separated from the tau pass so the wavefront can batch extension
+    and NEE rays into one sorted tau dispatch)."""
     cum = jnp.cumsum(tau, axis=-1)
     tau_tot = cum[:, -1]
     target = -jnp.log(jnp.maximum(1.0 - u_tau, 1e-12))
@@ -127,16 +147,18 @@ def grid_free_flight(grid: GridIndex, o, d, u_tau, solver_iters=12,
     return t_sc, scattered, albedo, tau_tot
 
 
-def _nee_grid(scene: Scene, grid: GridIndex, pos, xi_choice, xi_light,
-              xi_env2, interpret=False):
-    """NEE with grid transmittance; same selection logic as
-    ``multiscatter._nee`` (integrator.h:657-683)."""
+def _nee_select(scene: Scene, pos, xi_choice, xi_light, xi_env2):
+    """NEE light/env selection (integrator.h:657-683) *without* the
+    transmittance: returns (wi [B,3], tmax [B], base [B,3], w_ne) such
+    that Li = transmittance(pos, wi, tmax) * base."""
     num_lights = scene.lights_p.shape[0]
     wi_env = _dir_from_xi(xi_env2)
+    env_base = jnp.broadcast_to(scene.env_color * FOUR_PI,
+                                (pos.shape[0], 3))
 
     if num_lights == 0:
-        tr = grid_transmittance(grid, pos, wi_env, None, interpret)
-        return tr[:, None] * scene.env_color * FOUR_PI, 1.0
+        return wi_env, jnp.full(pos.shape[0], 1e8, jnp.float32), \
+            env_base, 1.0
 
     is_env = xi_choice < 1.0 / (num_lights + 1)
     lidx = jnp.clip((xi_light * num_lights).astype(jnp.int32),
@@ -149,19 +171,32 @@ def _nee_grid(scene: Scene, grid: GridIndex, pos, xi_choice, xi_light,
 
     wi = jnp.where(is_env[:, None], wi_env, wi_l)
     tmax = jnp.where(is_env, jnp.float32(1e8), dist)
-    tr = grid_transmittance(grid, pos, wi, tmax, interpret)
+    base_l = linten / jnp.maximum(dist * dist, 1e-12)[:, None]
+    base = jnp.where(is_env[:, None], env_base, base_l)
+    return wi, tmax, base, float(num_lights + 1)
 
-    li_light = tr[:, None] * linten / jnp.maximum(dist * dist,
-                                                  1e-12)[:, None]
-    li_env = tr[:, None] * scene.env_color * FOUR_PI
-    li = jnp.where(is_env[:, None], li_env, li_light)
-    return li, float(num_lights + 1)
+
+def _nee_grid(scene: Scene, grid: GridIndex, pos, xi_choice, xi_light,
+              xi_env2, interpret=False):
+    """NEE with grid transmittance; same selection logic as
+    ``multiscatter._nee`` (integrator.h:657-683)."""
+    wi, tmax, base, w_ne = _nee_select(scene, pos, xi_choice, xi_light,
+                                       xi_env2)
+    tr = grid_transmittance(grid, pos, wi, tmax, interpret)
+    return tr[:, None] * base, w_ne
 
 
 def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
                           cfg: RenderConfig, ids):
     """Grid-engine counterpart of ``multiscatter.wavefront_pixels``: same
-    path regeneration, RNG streams, NEE and RR — estimator-identical."""
+    path regeneration, RNG streams, NEE and RR — estimator-identical.
+
+    Per iteration there is ONE merged tau dispatch: the current bounce's
+    extension rays and the *previous* bounce's NEE shadow rays ride the
+    same DDA + sort + kernel pass (shadow Li lands in the accumulator one
+    iteration late; a final flush iteration drains the pipeline).  This
+    halves the per-iteration sort/scan/kernel fixed costs vs separate
+    passes."""
     from gvr_tpu.integrators.multiscatter import strat_n
 
     b = ids.shape[0]
@@ -180,12 +215,15 @@ def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
         return camera.sample_ray(jnp.stack([u, v], axis=-1))
 
     def cond(state):
-        o, d, thr, acc, alive, sample, bounce, it = state
-        return jnp.any(alive | (sample < cfg.spp)) & (
-            it < cfg.spp * cfg.max_bounces + cfg.max_bounces)
+        (o, d, thr, acc, alive, sample, bounce, it,
+         p_pos, p_wi, p_tmax, p_val) = state
+        return (jnp.any(alive | (sample < cfg.spp))
+                | jnp.any(p_val > 0.0)) & (
+            it < cfg.spp * cfg.max_bounces + cfg.max_bounces + 1)
 
     def body(state):
-        o, d, thr, acc, alive, sample, bounce, it = state
+        (o, d, thr, acc, alive, sample, bounce, it,
+         p_pos, p_wi, p_tmax, p_val) = state
 
         regen = ~alive & (sample < cfg.spp)
         o_n, d_n = make_ray(jnp.where(regen, sample, 0))
@@ -198,18 +236,36 @@ def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
 
         xi = path_uniforms(ids, jnp.maximum(sample, 1) - 1, bounce, 9,
                            cfg.seed)
-        t_sc, scattered, albedo, _ = grid_free_flight(
-            grid, o, d, xi[:, 0], cfg.solver_iters, interpret)
+
+        # --- ONE tau dispatch: [ext rays ; pending NEE rays] ---
+        # dead lanes get a zero-length traversal: their stale rays would
+        # otherwise keep generating live work items every iteration
+        o2 = jnp.concatenate([o, p_pos], axis=0)
+        d2 = jnp.concatenate([d, p_wi], axis=0)
+        tmax2 = jnp.concatenate([jnp.where(alive, 1e8, 0.0), p_tmax])
+        tau2, cells2, tin2, tout2 = grid_tau_crossings(
+            grid, o2, d2, tmax2, interpret)
+
+        # pending NEE completion (bounce k-1's shadow rays)
+        tr = jnp.exp(-jnp.sum(tau2[b:], axis=-1))
+        acc = acc + tr[:, None] * p_val
+
+        # extension: critical-crossing solve
+        t_sc, scattered, albedo, _ = grid_solve_from_crossings(
+            grid, o, d, tau2[:b], cells2[:b], tin2[:b], tout2[:b],
+            xi[:, 0], cfg.solver_iters, interpret)
 
         escaped = alive & ~scattered
         acc = acc + jnp.where(escaped[:, None], thr * scene.env_color, 0.0)
         alive_n = alive & scattered
 
         pos = o + jnp.maximum(t_sc, 0.0)[:, None] * d
-        li, w_ne = _nee_grid(scene, grid, pos, xi[:, 1], xi[:, 2],
-                             xi[:, 3:5], interpret)
-        contrib = thr * (albedo * INV_4PI * w_ne)[:, None] * li
-        acc = acc + jnp.where(alive_n[:, None], contrib, 0.0)
+        wi, tmax_n, base, w_ne = _nee_select(scene, pos, xi[:, 1],
+                                             xi[:, 2], xi[:, 3:5])
+        weight = thr * (albedo * INV_4PI * w_ne)[:, None] * base
+        p_val_n = jnp.where(alive_n[:, None], weight, 0.0)
+        # dead pending rays: zero-length traversal (tmax 0) costs nothing
+        p_tmax_n = jnp.where(alive_n, tmax_n, 0.0)
 
         thr_n = thr * albedo[:, None]
         do_rr = bounce >= cfg.min_scatter
@@ -225,13 +281,15 @@ def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
         o = jnp.where(alive_n[:, None], pos, o)
         d = jnp.where(alive_n[:, None], new_d, d)
         thr = jnp.where(alive_n[:, None], thr_n, thr)
-        return (o, d, thr, acc, alive_n, sample, bounce + 1, it + 1)
+        return (o, d, thr, acc, alive_n, sample, bounce + 1, it + 1,
+                pos, wi, p_tmax_n, p_val_n)
 
     zeros3 = jnp.zeros((b, 3))
     state = (zeros3, jnp.ones((b, 3)), jnp.ones((b, 3)), zeros3,
              jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
-             jnp.zeros(b, jnp.int32), jnp.int32(0))
-    *_, acc, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+             jnp.zeros(b, jnp.int32), jnp.int32(0),
+             zeros3, jnp.ones((b, 3)), jnp.zeros(b), zeros3)
+    *_, acc, _, _, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return acc / cfg.spp
 
 

@@ -37,10 +37,11 @@ from gvr_tpu.accel.grid import H
 BLK = 128   # items per block (one lane tile)
 
 
-def _quants(tab_ref, row):
+def _quants(tab_ref, row, col=None):
     """Clipped-interval quantities for one table slice against the block's
-    128 items.  Returns per-(gaussian, item) [H, BLK] arrays."""
-    col = lambda f: tab_ref[0, :, f:f + 1]               # [H, 1]
+    items.  Returns per-(gaussian, item) [H, BLK] arrays."""
+    if col is None:
+        col = lambda f: tab_ref[0, :, f:f + 1]           # [H, 1]
     ox, oy, oz = row(0), row(1), row(2)
     dx, dy, dz = row(3), row(4), row(5)
     t_in, t_out = row(6), row(7)
@@ -70,55 +71,143 @@ def _slice_index_map(b, j, first_ref, nsl_ref):
     return (first_ref[b] + jc, 0, 0)
 
 
-def _tau_kernel(first_ref, nsl_ref, tab_ref, item_ref, out_ref, acc):
-    b, j = pl.program_id(0), pl.program_id(1)
-    s_cap = pl.num_programs(1)
+TAU_BLK = 512   # items per span-tau block (sublanes)
+FETCH = 2       # table2 slices per DMA chunk (each [16, 128] = 8 KB)
 
-    @pl.when(j == 0)
-    def _():
+
+def _make_span_tau_kernel(side, grid_lo, grid_cell, n_buf):
+    """Span-fetch tau kernel: each block holds TAU_BLK cell-sorted items
+    (on sublanes) spanning a contiguous range [s_lo, s_lo + n_sl) of
+    128-Gaussian table2 slices (gaussians on lanes).  The range streams
+    through double-buffered manual DMA; each slice's contribution is
+    masked to the items whose cell owns it.  Crossing intervals are
+    recomputed from the slice's cell box (identical to the DDA's plane
+    clips), so items carry only (o, d, tmax, cell)."""
+    lox, loy, loz = grid_lo
+    clx, cly, clz = grid_cell
+    _, sy_, sz_ = side
+
+    def kernel(slo_ref, nsl_ref, scell_ref, tab_hbm, item_ref, icell_ref,
+               out_ref, buf, acc, sems):
+        b = pl.program_id(0)
+        lo = slo_ref[b]
+        n = nsl_ref[b]
+
         acc[:, :] = jnp.zeros_like(acc[:, :])
 
-    @pl.when(j < nsl_ref[b])
-    def _():
-        row = lambda f: item_ref[f:f + 1, :]
-        *_, tau_i, lo, hi, ok, alb = _quants(tab_ref, row)
-        acc[0:1, :] = acc[0:1, :] + jnp.sum(
-            jnp.where(ok, tau_i, 0.0), axis=0, keepdims=True)
+        def start_fetch(k, slot):
+            pltpu.make_async_copy(
+                tab_hbm.at[pl.ds(lo + k * FETCH, FETCH)],
+                buf.at[slot], sems.at[slot]).start()
 
-    @pl.when(j == s_cap - 1)
-    def _():
+        col_i = lambda f: item_ref[:, f:f + 1]              # [BLK, 1]
+        ox, oy, oz = col_i(0), col_i(1), col_i(2)
+        dx, dy, dz = col_i(3), col_i(4), col_i(5)
+        tmax = col_i(6)
+        icell = icell_ref[:, 0:1]                           # [BLK, 1]
+
+        eps = 1e-12
+        sd = lambda v: jnp.where(jnp.abs(v) > eps, v,
+                                 jnp.where(v >= 0, eps, -eps))
+        sdx, sdy, sdz = sd(dx), sd(dy), sd(dz)
+
+        nchunks = (n + FETCH - 1) // FETCH
+
+        @pl.when(nchunks > 0)
+        def _():
+            start_fetch(0, 0)
+
+            def chunk_body(k, _):
+                slot = jax.lax.rem(k, n_buf)
+                @pl.when(k + 1 < nchunks)
+                def _():
+                    start_fetch(k + 1, jax.lax.rem(k + 1, n_buf))
+                pltpu.make_async_copy(
+                    tab_hbm.at[pl.ds(lo + k * FETCH, FETCH)],
+                    buf.at[slot], sems.at[slot]).wait()
+
+                for s in range(FETCH):
+                    sc = scell_ref[lo + k * FETCH + s]
+                    iz = jnp.mod(sc, sz_)
+                    iy = jnp.mod(sc // sz_, sy_)
+                    ix = sc // (sy_ * sz_)
+                    bx0 = lox + ix.astype(jnp.float32) * clx
+                    by0 = loy + iy.astype(jnp.float32) * cly
+                    bz0 = loz + iz.astype(jnp.float32) * clz
+                    # ray ∩ cell box ∩ [0, tmax]  (== the DDA crossing)
+                    tx0 = (bx0 - ox) / sdx
+                    tx1 = (bx0 + clx - ox) / sdx
+                    ty0 = (by0 - oy) / sdy
+                    ty1 = (by0 + cly - oy) / sdy
+                    tz0 = (bz0 - oz) / sdz
+                    tz1 = (bz0 + clz - oz) / sdz
+                    t_lo = jnp.maximum(jnp.maximum(
+                        jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1))
+                    t_hi = jnp.minimum(jnp.minimum(
+                        jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+                    t_lo = jnp.maximum(t_lo, 0.0)
+                    t_hi = jnp.minimum(t_hi, tmax)
+                    m = (icell == sc) & (t_hi > t_lo)       # [BLK, 1]
+                    t_in = jnp.where(m, t_lo, 0.0)
+                    t_out = jnp.where(m, t_hi, 0.0)
+
+                    row_g = lambda f: buf[slot, s, f:f + 1, :]  # [1, 128]
+                    col = row_g                  # gaussian features (lanes)
+                    row = lambda f: [ox, oy, oz, dx, dy, dz,
+                                     t_in, t_out][f]
+                    *_, tau_i, lo_c, hi_c, ok, alb = _quants(
+                        None, row, col=col)                 # [BLK, 128]
+                    acc[:, 0:1] = acc[:, 0:1] + jnp.sum(
+                        jnp.where(ok, tau_i, 0.0), axis=1, keepdims=True)
+                return 0
+
+            jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+
         out_ref[:, :] = acc[:, :]
 
+    return kernel
 
-@functools.partial(jax.jit, static_argnames=("s_cap", "interpret"))
-def tau_pass(table, first_arr, nsl_arr, items, s_cap: int,
-             interpret: bool = False):
-    """items [8, P] rows (o, d, t_in, t_out); first/nsl [P/BLK] per block.
-    Returns tau per item [P]."""
-    p = items.shape[1]
-    nb = p // BLK
+
+@functools.partial(jax.jit, static_argnames=("side", "grid_lo", "grid_cell",
+                                             "interpret"))
+def span_tau_pass(table2, slo_arr, nsl_arr, slice_cell2, items, icell,
+                  side, grid_lo, grid_cell, interpret: bool = False):
+    """items [P, 8] cols (o[3], d[3], tmax, unused), icell [P, 1] int32;
+    slo/nsl [P/TAU_BLK] per-block slice spans into table2 [S2, 16, 128];
+    slice_cell2 [S2+pad] cell of every slice.  Returns tau per item [P]."""
+    p = items.shape[0]
+    nb = p // TAU_BLK
+    n_buf = 2
+    kernel = _make_span_tau_kernel(side, grid_lo, grid_cell, n_buf)
     out = pl.pallas_call(
-        _tau_kernel,
-        out_shape=jax.ShapeDtypeStruct((8, p), jnp.float32),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((p, 8), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nb, s_cap),
+            num_scalar_prefetch=3,
+            grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, H, 16), _slice_index_map,
+                pl.BlockSpec(memory_space=pl.ANY),          # table2 in HBM
+                pl.BlockSpec((TAU_BLK, 8), lambda b, *_: (b, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, BLK), lambda b, j, f, n: (0, b),
+                pl.BlockSpec((TAU_BLK, 1), lambda b, *_: (b, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((8, BLK), lambda b, j, f, n: (0, b),
+            out_specs=pl.BlockSpec((TAU_BLK, 8), lambda b, *_: (b, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((8, BLK), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((n_buf, FETCH, 16, 128), jnp.float32),
+                pltpu.VMEM((TAU_BLK, 8), jnp.float32),
+                pltpu.SemaphoreType.DMA((n_buf,)),
+            ],
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(first_arr, nsl_arr, table, items)
-    return out[0]
+    )(slo_arr, nsl_arr, slice_cell2, table2, items, icell)
+    return out[:, 0]
 
 
 def _make_solve_kernel(s_cap, solver_iters):

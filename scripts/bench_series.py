@@ -23,6 +23,9 @@ BASE = "/root/reference/scenes/gaussians"
 
 
 def main():
+    from gvr_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--spp", type=int, default=8)
@@ -45,7 +48,7 @@ def main():
         scene = load_gmm(path)
         cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp)
         rpp = path_statistics(scene, camera, cfg)["rays_per_path"]
-        render_multiscatter(scene, camera, cfg.replace(spp=1))  # warm
+        render_multiscatter(scene, camera, cfg)  # warm: identical config
         t0 = time.time()
         img = render_multiscatter(scene, camera, cfg)
         dt = time.time() - t0

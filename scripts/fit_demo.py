@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from gvr_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene",
                     default="/root/reference/scenes/gaussians/2g_altered.txt")
