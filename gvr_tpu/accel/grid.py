@@ -39,6 +39,10 @@ import numpy as np
 
 H = 32    # gaussians per solve-table slice (sublane tile height)
 H2 = 128  # gaussians per span-table slice (lane tile width)
+# deepest acceptable cell, in solve-table slices; scenes whose densest
+# cell exceeds this at every resolution (giant overlapping gaussians,
+# e.g. 5000_random) render on the dense engine instead
+S_CAP_MAX = 24
 
 
 @jax.tree_util.register_pytree_node_class
@@ -150,7 +154,8 @@ def choose_side(bmin, bmax, lo, hi) -> int:
     static crossing slot and per-cell dummy rides the item sorts —
     measured ~65 eval-equivalents per slot on v5e), plus a mild skew
     penalty (deep cells slow the critical-cell solve)."""
-    best, best_cost = 2, float("inf")
+    best, best_cost = None, float("inf")
+    fallback, fallback_cap = 2, 10 ** 9
     for side in range(2, 17):
         cell = (hi - lo) / side
         i0 = np.clip(((bmin - lo) / cell).astype(np.int64), 0, side - 1)
@@ -159,12 +164,18 @@ def choose_side(bmin, bmax, lo, hi) -> int:
         counts = np.bincount(cell_ids, minlength=side ** 3)
         padded = float((((counts + H - 1) // H) * H).sum())
         s_cap = int(max((counts.max() + H - 1) // H, 1))
+        if s_cap < fallback_cap:
+            fallback, fallback_cap = side, s_cap
+        if s_cap > S_CAP_MAX:
+            # deep cells blow up the solve-pass VMEM scratch
+            # (9 arrays x s_cap*H x 128 lanes); such sides are infeasible
+            continue
         evals = 1.5 * side * padded / side ** 3
         sort_slots = 3 * side + 3 + side ** 3 * 127 / 32768.0
         cost = evals + 65.0 * sort_slots + 16.0 * s_cap
         if cost < best_cost:
             best, best_cost = side, cost
-    return best
+    return best if best is not None else fallback
 
 
 def build_grid(gmm, side: int | None = None) -> GridIndex:

@@ -467,6 +467,20 @@ def _grid_enabled(cfg: RenderConfig, n: int) -> bool:
     return _pallas_enabled(cfg) and n > GRID_MIN_N
 
 
+def engine_for(cfg: RenderConfig, gmm):
+    """Resolve ('grid', GridIndex) or ('dense', None) — including the
+    structural fallback for scenes whose densest cell exceeds S_CAP_MAX at
+    every grid resolution (giant overlapping gaussians)."""
+    if not _grid_enabled(cfg, gmm.n):
+        return "dense", None
+    from gvr_tpu.integrators.gridscatter import grid_for
+    from gvr_tpu.accel.grid import S_CAP_MAX
+    grid = grid_for(gmm)
+    if cfg.engine != "grid" and grid.s_cap > S_CAP_MAX:
+        return "dense", None
+    return "grid", grid
+
+
 @functools.lru_cache(maxsize=32)
 def _wavefront_grid_fn(cfg: RenderConfig, n_shards: int = 1):
     from gvr_tpu.integrators.gridscatter import wavefront_pixels_grid
@@ -506,14 +520,13 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
     w, h = cfg.width, cfg.height
     order = tile_order(w, h)
 
-    use_grid = _grid_enabled(cfg, scene.medium.n)
+    engine, grid = engine_for(cfg, scene.medium)
+    use_grid = engine == "grid"
     chunk_probe = min(cfg.ray_chunk, 1 << 15) if use_grid \
         else pick_chunk(cfg, scene.medium.n)
     chunk_probe = min(chunk_probe, ((w * h + 255) // 256) * 256)
     n_shards = _mesh_shards(chunk_probe)
     if use_grid:
-        from gvr_tpu.integrators.gridscatter import grid_for
-        grid = grid_for(scene.medium)
         fn_g = _wavefront_grid_fn(cfg, n_shards)
         fn = lambda sc, cam, ids: fn_g(sc, grid, cam, ids)
     else:

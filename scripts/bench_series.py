@@ -37,7 +37,7 @@ def main():
     from gvr_tpu.integrators.multiscatter import render_multiscatter
     from gvr_tpu.utils.profiling import path_statistics
 
-    from gvr_tpu.integrators.multiscatter import _grid_enabled
+    from gvr_tpu.integrators.multiscatter import engine_for
 
     camera = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
     results = []
@@ -60,13 +60,12 @@ def main():
         # engine + acceleration-structure observability: which path ran and
         # what the grid looked like (coverage is exact by construction — the
         # DDA crossing bound replaces the old fixed-K overflow flag)
-        if _grid_enabled(cfg, scene.medium.n):
-            from gvr_tpu.integrators.gridscatter import grid_for
-            g = grid_for(scene.medium)
-            row.update(engine="grid", grid_side=g.side[0],
+        eng, g = engine_for(cfg, scene.medium)
+        if g is not None:
+            row.update(engine=eng, grid_side=g.side[0],
                        slices=g.n_slices, s_cap=g.s_cap)
         else:
-            row.update(engine="dense")
+            row.update(engine=eng)
         results.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"series": results}))
