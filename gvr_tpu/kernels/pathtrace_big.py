@@ -19,11 +19,10 @@ scheme:
    not N.
 
 NEE transmittance is a pure streaming accumulation (no compaction needed).
-Rays whose blocks overflow CAP_CHUNKS get their overflow chunks' optical
-depth folded into tau_tot (escape probabilities stay exact) but the solver
-cannot place scatter points inside dropped chunks; the overflow flag is
-returned so callers can detect it (it does not occur on the reference
-fixtures with CAP_CHUNKS=12 at blk=128).
+The compaction scratch always covers every chunk (``plan`` refuses scenes
+beyond its 96-chunk ceiling instead of silently dropping chunks), so the
+in-kernel overflow path is unreachable; scenes above the ceiling belong to
+the grid engine (accel/grid.py).
 
 Ray/gaussian orientation is flipped vs the small kernel: rays on sublanes
 ([blk, 1] columns), gaussians on lanes ([1, G] rows), so the streamed table
@@ -51,12 +50,19 @@ G = 256              # gaussians per streamed chunk
 
 def plan(n_chunks: int):
     """(blk, cap) for a scene: blocks of 128 rays with a 24-chunk scratch
-    for mid-size scenes; 64-ray blocks with a full-coverage scratch for
-    10k-20k scenes (no overflow possible, still VMEM-resident and culled
-    for coherent blocks).  Caps chosen against the ~100 MB VMEM ceiling."""
+    for mid-size scenes; 64-ray blocks with a full-coverage scratch up to
+    96 chunks (24,576 gaussians).  Either way cap >= n_chunks, so the
+    compaction scratch can never overflow.  Scenes beyond 96 chunks are
+    the grid engine's job — refusing here turns what used to be a silent
+    bias (the kernel's overflow flag was dropped by its caller) into an
+    explicit error."""
+    if n_chunks > 96:
+        raise ValueError(
+            f"chunk-streaming kernel supports at most {96 * G} gaussians "
+            f"({n_chunks} chunks requested); use engine='grid'")
     if n_chunks <= 24:
         return 128, max(n_chunks, 1)
-    return 64, min(n_chunks, 96)
+    return 64, n_chunks
 
 
 def pack_table_t(gmm: GaussianMixture):
