@@ -79,7 +79,11 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
     from gvr_tpu.ops.sampling import path_uniforms
     from gvr_tpu.integrators.raymarch import _dir_from_xi
 
-    n = min(sample_pixels, cfg.width * cfg.height)
+    # the counting trace is dense [n, N]; cap n so the ~11 live arrays fit
+    # comfortably in HBM at big N (16384 x 20k x 11 x 4B OOM'd a v5e)
+    n_gauss = scene.medium.n
+    budget = max(1024, (3 << 25) // max(n_gauss, 1))
+    n = min(sample_pixels, budget, cfg.width * cfg.height)
 
     @jax.jit
     def count(sc, ids):
