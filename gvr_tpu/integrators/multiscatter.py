@@ -524,6 +524,11 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
     use_grid = engine == "grid"
     chunk_probe = min(cfg.ray_chunk, 1 << 15) if use_grid \
         else pick_chunk(cfg, scene.medium.n)
+    if cfg.solver == Solver.UNIFORM:
+        # the uniform ablation materializes [rays, 2K, K] boundary taus
+        # (ops/solvers._uniform_in_segment) — at 64k rays x K=64 that is
+        # ~2 GB per intermediate and crashes the TPU worker
+        chunk_probe = min(chunk_probe, 4096)
     chunk_probe = min(chunk_probe, ((w * h + 255) // 256) * 256)
     n_shards = _mesh_shards(chunk_probe)
     if use_grid:

@@ -76,6 +76,14 @@ def run():
     def mc(golden, scene_file, render_fn, solver=Solver.ANALYTIC_NEWTON,
            label=""):
         t0 = time.time()
+        try:
+            _mc(golden, scene_file, render_fn, solver, label, t0)
+        except Exception as e:   # keep sweeping; record the failure
+            rows.append((golden, f"FAILED: {type(e).__name__}", float("nan"),
+                         None, float("nan"), time.time() - t0))
+            print(f"  {golden}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    def _mc(golden, scene_file, render_fn, solver, label, t0):
         sc = load_gmm(f"{REF}/scenes/gaussians/{scene_file}")
         cfg = RenderConfig(width=512, height=512, spp=SPP, solver=solver)
         img0 = q(render_fn(sc, CAM, cfg))
