@@ -28,8 +28,17 @@ def main():
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--eval-spp", dest="eval_spp", type=int, default=0,
+                    help="spp for the target/initial/final comparison "
+                         "renders (default 4x --spp; the reference "
+                         "renders its final at 16384 spp)")
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--perturb", type=float, default=0.15)
+    ap.add_argument("--bounces", type=int, default=8,
+                    help="differentiable-estimator bounce count; thick "
+                         "scenes need enough bounces that the estimator "
+                         "is unbiased vs the full-transport target")
+    ap.add_argument("--rr-after", dest="rr_after", type=int, default=4)
     ap.add_argument("--out", default="/tmp/fit_demo")
     ap.add_argument("--gif", action="store_true")
     args = ap.parse_args()
@@ -47,7 +56,8 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     scene_true = load_gmm(args.scene)
     cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
-    rc = RenderConfig(width=args.size, height=args.size, spp=args.spp)
+    rc = RenderConfig(width=args.size, height=args.size,
+                      spp=args.eval_spp or 4 * args.spp)
 
     print("rendering target...")
     target = render_multiscatter(scene_true, cam, rc)
@@ -68,7 +78,8 @@ def main():
                     out_dir=args.out)
     t0 = time.time()
     fitted = fit_gaussians(scene_init, cam, target, cfg,
-                           batch_pixels=4096, n_bounces=3)
+                           batch_pixels=4096, n_bounces=args.bounces,
+                           rr_after=args.rr_after)
     print(f"fit time: {time.time() - t0:.1f}s")
 
     final_img = render_multiscatter(fitted, cam, rc)
