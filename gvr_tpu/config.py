@@ -63,7 +63,8 @@ class RenderConfig:
     step_size: float = 0.01        # ray-march step (deterministic integrators)
     env_samples: int = 20          # env direction samples (ray marchers)
     solver: Solver = Solver.ANALYTIC_NEWTON
-    solver_iters: int = 12         # fixed Newton/bisection trip count
+    solver_iters: int = 10         # fixed solver trip count (Newton+Illinois
+                                   # reaches p99 tau-residual ~1e-4 at 10)
     ray_chunk: int = 1 << 16       # rays per jitted chunk (memory bound)
     seed: int = 0                  # base RNG seed
     # per-ray candidate compaction: the free-flight solver runs on the

@@ -298,8 +298,15 @@ _GRID_CACHE: dict = {}
 
 
 def grid_for(gmm) -> GridIndex:
-    key = (gmm.n, float(np.asarray(gmm.mean).sum()),
-           float(np.asarray(gmm.density).sum()))
+    # content digest of the arrays that determine the grid — a float-sum
+    # key collides for sum-preserving edits (e.g. swapping two coordinates)
+    # and would silently reuse the wrong grid
+    import hashlib
+    hsh = hashlib.blake2b(digest_size=16)
+    for arr in (gmm.mean, gmm.density, gmm.albedo, gmm.eigvals,
+                gmm.eigvecs):
+        hsh.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    key = (gmm.n, hsh.hexdigest())
     g = _GRID_CACHE.get(key)
     if g is None:
         g = build_grid(gmm)

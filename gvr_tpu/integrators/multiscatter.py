@@ -430,15 +430,17 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     return acc / cfg.spp
 
 
-def _mesh_shards(chunk: int) -> int:
+def _mesh_shards() -> int:
     """Number of devices the production render shards each pixel chunk
     over (1 = single device).  Multi-chip SPMD over pixel ids — the
-    reference's OpenMP pixel loop (integrator.h:547) mapped to ICI."""
+    reference's OpenMP pixel loop (integrator.h:547) mapped to ICI.
+    Chunks are padded up to a multiple of the device count by the caller,
+    so an awkward cfg.ray_chunk never silently drops to one chip."""
     try:
         n = len(jax.devices())
     except Exception:
         return 1
-    return n if n > 1 and chunk % n == 0 else 1
+    return n if n > 1 else 1
 
 
 @functools.lru_cache(maxsize=32)
@@ -471,6 +473,20 @@ def engine_for(cfg: RenderConfig, gmm):
     """Resolve ('grid', GridIndex) or ('dense', None) — including the
     structural fallback for scenes whose densest cell exceeds S_CAP_MAX at
     every grid resolution (giant overlapping gaussians)."""
+    if cfg.engine == "grid":
+        # the grid wavefront compiles real Pallas kernels and replaces the
+        # free-flight solver with its in-cell Newton — refuse configs that
+        # would silently change semantics or fail on CPU backends
+        if cfg.pallas == "off":
+            raise ValueError(
+                "engine='grid' needs Pallas kernels (pallas='auto', 'on' "
+                "or 'interpret'); pallas='off' only supports the dense "
+                "XLA engine")
+        if cfg.solver not in (Solver.NEWTON, Solver.ANALYTIC_NEWTON):
+            raise ValueError(
+                f"engine='grid' implements the (analytic-)Newton solver "
+                f"only; solver={cfg.solver.name} requires engine='dense' "
+                f"or 'auto'")
     if not _grid_enabled(cfg, gmm.n):
         return "dense", None
     from gvr_tpu.integrators.gridscatter import grid_for
@@ -525,12 +541,16 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
     chunk_probe = min(cfg.ray_chunk, 1 << 15) if use_grid \
         else pick_chunk(cfg, scene.medium.n)
     if cfg.solver == Solver.UNIFORM:
-        # the uniform ablation materializes [rays, 2K, K] boundary taus
-        # (ops/solvers._uniform_in_segment) — at 64k rays x K=64 that is
-        # ~2 GB per intermediate and crashes the TPU worker
-        chunk_probe = min(chunk_probe, 4096)
+        # the uniform ablation streams boundary taus in BOUNDARY_CHUNK
+        # slices (ops/solvers._uniform_in_segment); peak intermediate is
+        # [rays, 16, K] — cap rays so that stays ~200 MB
+        chunk_probe = min(chunk_probe, 8192)
     chunk_probe = min(chunk_probe, ((w * h + 255) // 256) * 256)
-    n_shards = _mesh_shards(chunk_probe)
+    n_shards = _mesh_shards()
+    # pad the chunk so it divides evenly over the mesh (preferring whole
+    # 256-ray kernel blocks per shard when the chunk is big enough)
+    q = 256 * n_shards if chunk_probe >= 256 * n_shards else n_shards
+    chunk_probe = ((chunk_probe + q - 1) // q) * q
     if use_grid:
         fn_g = _wavefront_grid_fn(cfg, n_shards)
         fn = lambda sc, cam, ids: fn_g(sc, grid, cam, ids)

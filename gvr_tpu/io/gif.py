@@ -31,18 +31,28 @@ def write_gif(path: str, frames, delay_cs: int = 3) -> None:
     h, w = np.asarray(frames[0]).shape[:2]
 
     nat = _native.lib()
-    use_native = nat is not None and nat.has_indexed_gif
+    use_native = nat is not None
     handle = nat.gif_begin(path, w, h, delay_cs) if use_native else None
     if use_native and not handle:
         use_native = False
 
     if use_native:
         ok = True
+        indexed = nat.has_indexed_gif
         for fr in frames:
             u8 = quantize(np.asarray(fr))
-            pal = adaptive_palette(u8)
-            idx = palette_indices(u8, pal)
-            ok = ok and nat.gif_frame_indexed(handle, idx, pal)
+            if indexed:
+                pal = adaptive_palette(u8)
+                idx = palette_indices(u8, pal)
+                ok = ok and nat.gif_frame_indexed(handle, idx, pal)
+            else:
+                # legacy native lib (predates gvr_gif_frame_indexed): its
+                # fixed-palette LZW path still beats the Python
+                # literal-code stream on file size
+                rgba = np.concatenate(
+                    [u8, np.full(u8.shape[:2] + (1,), 255, np.uint8)],
+                    axis=-1)
+                ok = ok and nat.gif_frame(handle, rgba)
         ok = nat.gif_end(handle) and ok
         if ok:
             return

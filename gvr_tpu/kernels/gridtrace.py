@@ -259,8 +259,9 @@ def _make_solve_kernel(s_cap, solver_iters):
             t_lo = jnp.minimum(jnp.min(clo, axis=0, keepdims=True), t_out)
             t_hi = jnp.maximum(jnp.max(chi, axis=0, keepdims=True), t_lo)
 
+            # Newton + Illinois fallback (see ops/solvers)
             def newton_body(_, st):
-                lo_b, hi_b, t = st
+                lo_b, hi_b, flo, fhi, t = st
                 z = sa * t + zoff
                 # shared exponential: erf(z/sqrt2) needs exp(-z^2/2), which
                 # is also the gaussian's extinction profile at t
@@ -273,15 +274,25 @@ def _make_solve_kernel(s_cap, solver_iters):
                 rho = jnp.where(inside, speak * ez, 0.0)
                 sig = jnp.sum(rho, axis=0, keepdims=True)
                 f = tau - tgt
-                lo_b = jnp.where(f < 0.0, t, lo_b)
-                hi_b = jnp.where(f < 0.0, hi_b, t)
+                neg = f < 0.0
+                flo = jnp.where(neg, f, flo * 0.5)
+                fhi = jnp.where(neg, fhi * 0.5, f)
+                lo_b = jnp.where(neg, t, lo_b)
+                hi_b = jnp.where(neg, hi_b, t)
                 t_n = t - f / jnp.maximum(sig, 1e-30)
                 good = (t_n > lo_b) & (t_n < hi_b)
-                return lo_b, hi_b, jnp.where(good, t_n, 0.5 * (lo_b + hi_b))
+                denom = fhi - flo
+                t_f = hi_b - fhi * (hi_b - lo_b) / jnp.where(
+                    jnp.abs(denom) > 1e-30, denom, 1e-30)
+                t_f = jnp.clip(t_f, lo_b + 0.05 * (hi_b - lo_b),
+                               hi_b - 0.05 * (hi_b - lo_b))
+                return lo_b, hi_b, flo, fhi, jnp.where(good, t_n, t_f)
 
             t_init = 0.5 * (t_lo + t_hi)
-            _, _, t_sc = jax.lax.fori_loop(0, solver_iters, newton_body,
-                                           (t_lo, t_hi, t_init))
+            flo0 = -tgt
+            fhi0 = jnp.maximum(tau_cell - tgt, 1e-12)
+            *_, t_sc = jax.lax.fori_loop(0, solver_iters, newton_body,
+                                         (t_lo, t_hi, flo0, fhi0, t_init))
             t_sc = jnp.clip(t_sc, t_lo, t_hi)
 
             z = sa * t_sc + zoff

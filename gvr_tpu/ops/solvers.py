@@ -50,27 +50,50 @@ def _bracket(rg: RayGaussians):
     return t_lo, t_hi, tau_max
 
 
+FALSI_MARGIN = 0.05
+
+
 def _safeguarded_newton(rg, target, t_lo, t_hi, iters, use_newton=True):
     """Branchless bracketed root find of tau_total(t) - target on
-    [t_lo, t_hi].  Assumes f(t_lo) <= 0 <= f(t_hi)."""
+    [t_lo, t_hi].  Assumes f(t_lo) <= 0 <= f(t_hi).
+
+    ``use_newton``: Newton steps with an **Illinois (regula-falsi)**
+    fallback — where tau is locally flat the Newton step overshoots the
+    bracket and plain bisection converges 1 bit/iter (the round-2 tail:
+    p99 tau residual 5e-3 at 14 iters); the Illinois secant through the
+    bracket endpoints (with the classic stale-side f halving) is
+    superlinear there, measuring p99 ~1e-4 at 10 iters on 250_random.
+    ``use_newton=False`` is plain bisection, kept exactly as the
+    reference's BISECTION ablation (distance_solvers.h:25-57)."""
     lo, hi = t_lo, t_hi
     t = 0.5 * (lo + hi)
+    flo = -target                            # tau(t_lo) = 0 by construction
+    fhi = jnp.maximum(tau_total(rg) - target, 1e-12)
 
     def body(_, state):
-        lo, hi, t = state
+        lo, hi, flo, fhi, t = state
         f = tau_up_to(rg, t) - target
-        lo = jnp.where(f < 0.0, t, lo)
-        hi = jnp.where(f < 0.0, hi, t)
+        neg = f < 0.0
+        flo_n = jnp.where(neg, f, flo * 0.5)
+        fhi_n = jnp.where(neg, fhi * 0.5, f)
+        lo = jnp.where(neg, t, lo)
+        hi = jnp.where(neg, hi, t)
         if use_newton:
             deriv = sigma_t_at(rg, None, t)
             t_n = t - f / jnp.maximum(deriv, 1e-30)
             ok = (t_n > lo) & (t_n < hi) & jnp.isfinite(t_n)
-            t = jnp.where(ok, t_n, 0.5 * (lo + hi))
+            denom = fhi_n - flo_n
+            t_f = hi - fhi_n * (hi - lo) / jnp.where(
+                jnp.abs(denom) > 1e-30, denom, 1e-30)
+            t_f = jnp.clip(t_f, lo + FALSI_MARGIN * (hi - lo),
+                           hi - FALSI_MARGIN * (hi - lo))
+            t = jnp.where(ok, t_n, t_f)
         else:
             t = 0.5 * (lo + hi)
-        return lo, hi, t
+        return lo, hi, flo_n, fhi_n, t
 
-    lo, hi, t = jax.lax.fori_loop(0, iters, body, (lo, hi, t))
+    lo, hi, _, _, t = jax.lax.fori_loop(0, iters, body,
+                                        (lo, hi, flo, fhi, t))
     return jnp.clip(t, t_lo, t_hi)
 
 
@@ -111,22 +134,47 @@ def _event_boundaries(rg: RayGaussians):
     return jnp.sort(ts, axis=-1)
 
 
+BOUNDARY_CHUNK = 16
+
+
 def _uniform_in_segment(rg: RayGaussians, target, u):
     """Uniform sample inside the critical segment: locate the bracketing
-    event boundaries and sample uniformly between them."""
+    event boundaries and sample uniformly between them.
+
+    The boundary taus are computed in ``BOUNDARY_CHUNK``-sized chunks of
+    the 2N boundary axis via ``lax.scan`` — the peak intermediate is
+    [rays, CHUNK, N] instead of [rays, 2N, N].  (The one-shot form
+    materialized ~2 GB at 64k rays x K=64 and reproducibly crashed the
+    TPU worker at 512*512 — round-2 weak #4.)"""
     ts = _event_boundaries(rg)                       # [..., 2N]
     finite = jnp.isfinite(ts)
     ts_safe = jnp.where(finite, ts, 0.0)
-    # tau at every boundary: [..., 2N, N] intermediate
-    b_ = jnp.minimum(rg.t1[..., None, :], ts_safe[..., :, None])
-    fs = rg.fscale[..., None, :]
-    a = rg.a[..., None, :]
-    b2 = rg.b[..., None, :]
-    erf_hi = jax.lax.erf((b2 + 2.0 * a * b_) * fs)
-    erf_lo = jax.lax.erf((b2 + 2.0 * a * rg.t0[..., None, :]) * fs)
-    contrib = rg.pref[..., None, :] * (erf_hi - erf_lo)
-    valid = rg.hit[..., None, :] & (b_ > rg.t0[..., None, :])
-    tau_b = jnp.sum(jnp.where(valid, contrib, 0.0), axis=-1)   # [..., 2N]
+
+    nb = ts.shape[-1]
+    cb = min(BOUNDARY_CHUNK, nb)
+    pad = (-nb) % cb
+    ts_p = jnp.concatenate(
+        [ts_safe, jnp.zeros(ts.shape[:-1] + (pad,), ts.dtype)], axis=-1) \
+        if pad else ts_safe
+    nchunks = (nb + pad) // cb
+    # [nchunks, ..., cb] so scan carries one chunk of boundaries at a time
+    xs = jnp.moveaxis(ts_p.reshape(ts.shape[:-1] + (nchunks, cb)), -2, 0)
+
+    def tau_at(tq):
+        """Mixture tau up to each boundary in the chunk: [..., cb]."""
+        b_ = jnp.minimum(rg.t1[..., None, :], tq[..., :, None])
+        fs = rg.fscale[..., None, :]
+        a = rg.a[..., None, :]
+        b2 = rg.b[..., None, :]
+        erf_hi = jax.lax.erf((b2 + 2.0 * a * b_) * fs)
+        erf_lo = jax.lax.erf((b2 + 2.0 * a * rg.t0[..., None, :]) * fs)
+        contrib = rg.pref[..., None, :] * (erf_hi - erf_lo)
+        valid = rg.hit[..., None, :] & (b_ > rg.t0[..., None, :])
+        return jnp.sum(jnp.where(valid, contrib, 0.0), axis=-1)
+
+    tau_chunks = jax.lax.map(tau_at, xs)             # [nchunks, ..., cb]
+    tau_b = jnp.moveaxis(tau_chunks, 0, -2).reshape(
+        ts.shape[:-1] + (nb + pad,))[..., :nb]
     tau_b = jnp.where(finite, tau_b, jnp.inf)
 
     idx = jnp.sum((tau_b < target[..., None]).astype(jnp.int32), axis=-1)

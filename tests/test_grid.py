@@ -170,3 +170,22 @@ def test_grid_wavefront_matches_xla_engine(scene, grid):
     close = np.isclose(got, ref, rtol=1e-3, atol=1e-3).mean()
     assert close > 0.95, f"only {close:.3f} of pixels match"
     np.testing.assert_allclose(got.mean(), ref.mean(), rtol=2e-2)
+
+
+def test_grid_cache_key_is_content_hash():
+    """Sum-preserving scene edits (swap a gaussian's x/y position) must
+    invalidate the grid cache (round-2 advisor finding: the old key was a
+    float-sum hash and collided on exactly this edit)."""
+    from gvr_tpu.integrators.gridscatter import grid_for
+    from gvr_tpu.scene.gaussians import GaussianMixture
+
+    txt = random_gaussian_scene(20, seed=5, diameter=(0.1, 0.5))
+    gmm = parse_gmm(txt).medium
+    g1 = grid_for(gmm)
+
+    mean2 = np.asarray(gmm.mean).copy()
+    mean2[0, [0, 1]] = mean2[0, [1, 0]]          # same coordinate sum
+    gmm2 = GaussianMixture.from_covariances(
+        jnp.asarray(mean2), gmm.cov, gmm.density, gmm.albedo)
+    g2 = grid_for(gmm2)
+    assert not np.array_equal(np.asarray(g1.table), np.asarray(g2.table))

@@ -83,6 +83,44 @@ def test_sfd_agrees_in_direction():
     assert cos > 0.3, cos
 
 
+def test_sfd_localized_agrees_with_autodiff():
+    """The union-footprint SFD (reference inverse_integrator.h:118-188,
+    wired through inverse/attribution.py) must correlate directionally with
+    autodiff of the same sum-L1 loss on a 10-Gaussian scene."""
+    from gvr_tpu.scene.generators import random_gaussian_scene
+    from gvr_tpu.scene.gaussians import default_param_eps
+    from gvr_tpu.inverse.sfd import sfd_gradient_localized, footprint_fn
+    from gvr_tpu.integrators.multiscatter import multiscatter_radiance_diff
+    from gvr_tpu.config import RenderConfig
+
+    scene = parse_gmm(random_gaussian_scene(10, seed=2,
+                                            diameter=(0.2, 0.7)))
+    w = h = 8
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    o, d, rng_ids = _pixel_rays(CAM, w, h, ids)
+    params = scene.medium.pack_parameters()
+    target = np.full((w * h, 3), 0.4, np.float32)
+
+    def image(p):
+        gmm = GaussianMixture.from_parameters(p)
+        return multiscatter_radiance_diff(scene.with_medium(gmm), o, d,
+                                          rng_ids, None, n_bounces=2)
+
+    def loss(p):
+        return jnp.sum(jnp.abs(image(p) - jnp.asarray(target)))
+
+    grad = np.asarray(jax.grad(loss)(params))
+    fp = footprint_fn(scene, CAM, RenderConfig(width=w, height=h), k=10)
+    sfd = sfd_gradient_localized(image, fp, params, target,
+                                 num_samples=48,
+                                 rng=np.random.default_rng(3),
+                                 eps=default_param_eps(10) * 0.1)
+    assert np.isfinite(sfd).all()
+    cos = float(np.dot(grad, sfd)
+                / (np.linalg.norm(grad) * np.linalg.norm(sfd) + 1e-12))
+    assert cos > 0.3, cos
+
+
 def test_short_fit_improves_render(tmp_path):
     """Fit a perturbed scene back toward a rendered target; the fitted
     scene's *render* must get closer to the true scene's render (the
