@@ -9,19 +9,21 @@ actually overlaps) with a TPU-native structure:
 
 1. A **uniform voxel grid** over the scene AABB.  Every Gaussian is inserted
    into each cell its R_CUT-support AABB overlaps (duplication instead of
-   pointers).  Cell lists are packed into 32-Gaussian *slices* of a feature
-   table ``[S, 32, 16]``; a cell owns a contiguous run of slices.
+   pointers).  Entries are **cell-sorted and packed contiguously** into
+   ``H``-Gaussian slices of one feature table ``[S, H, 16]``; a slice may
+   hold entries of several adjacent cells, and every entry carries its own
+   cell id as a feature — so sparse cells cost no padding and fine grids
+   stay affordable (round-2's per-cell 128-wide slices forced coarse grids).
 2. **Regular tracking over cells**: a ray's cell crossings (3D-DDA, t-ordered)
    are the *segments* of the reference's regular-tracking loop
    (``integrator.h:422-498``) — within each crossing the closed-form erf
    optical depth over the clipped interval is exact, so summing per-crossing
    taus in t order reproduces the event walk without any per-ray event sort.
 3. **Work-list wavefronts**: (ray, crossing) items are sorted by cell id so
-   that each 128-item Pallas block touches exactly one cell's slices
-   (fetched by a scalar-prefetch index map).  Sorting by *cell* rather than
-   by ray position means incoherent deep-bounce rays cost the same as
-   coherent camera rays — the property the reference gets from per-ray BVH
-   traversal and that per-block chunk culling could not deliver.
+   that each kernel block touches a contiguous slice span (streamed by
+   double-buffered DMA).  Sorting by *cell* rather than by ray position
+   means incoherent deep-bounce rays cost the same as coherent camera rays —
+   the property the reference gets from per-ray BVH traversal.
 
 Crossing counts are bounded by the grid dims, so unlike a fixed-K candidate
 buffer this structure has **no overflow path**: coverage is exact by
@@ -37,12 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-H = 32    # gaussians per solve-table slice (sublane tile height)
-H2 = 128  # gaussians per span-table slice (lane tile width)
-# deepest acceptable cell, in solve-table slices; scenes whose densest
-# cell exceeds this at every resolution (giant overlapping gaussians,
-# e.g. 5000_random) render on the dense engine instead
-S_CAP_MAX = 24
+H = 32    # entries per solve-view slice (sublane granularity)
+H2 = 128  # entries per span-view slice (lane granularity; DMA-aligned)
+# solve-pass VMEM scratch is 9 arrays x (s_cap*H, 128) f32; cap the densest
+# cell so that stays under ~40 MB.  Scenes violating this at every side
+# (if any) fall back to the dense engine.
+S_CAP_MAX = 224
 
 
 @jax.tree_util.register_pytree_node_class
@@ -51,39 +53,41 @@ class GridIndex:
     """Immutable grid index over a GaussianMixture.
 
     Leaves (traced):
-      table       [S + s_cap, H, 16]  slice-packed features (benign padding)
-      cell_first  [C] int32   first slice of each cell
-      cell_nsl    [C] int32   number of slices of each cell (0 = empty)
+      table       [S + pad, H, 16]   solve view: cell-sorted entry slices
+                  (entries on sublanes, features minor); feature 9 is the
+                  entry's OWN cell id (exact in f32 for < 2^24 cells),
+                  feature 12 the validity flag (0 for padding)
+      table2      [S2 + pad, 16, H2] span view of the SAME flat entry
+                  array: H2=128 entries on lanes, features on sublanes —
+                  the minor dim must be 128 for manual HBM->VMEM DMA
+      cell_gfirst [C] int32   first entry index of each cell
+      cell_gcnt   [C] int32   entry count of each cell (0 = empty)
       lo          [3] grid origin;  cell [3] cell size;  inv_cell [3]
 
     Static (aux):
-      side (sx, sy, sz), s_cap (max slices per cell), n_slices
+      side (sx, sy, sz), s_cap (max solve-view slices any single cell
+      spans, including boundary misalignment), n_slices, n_entries
     """
 
     table: jnp.ndarray
-    cell_first: jnp.ndarray
-    cell_nsl: jnp.ndarray
-    slice_cell: jnp.ndarray
     table2: jnp.ndarray
-    cell_first2: jnp.ndarray
-    cell_nsl2: jnp.ndarray
-    slice_cell2: jnp.ndarray
+    cell_gfirst: jnp.ndarray
+    cell_gcnt: jnp.ndarray
     lo: jnp.ndarray
     cell: jnp.ndarray
     inv_cell: jnp.ndarray
     side: tuple
     s_cap: int
     n_slices: int
+    n_entries: int
     lo_t: tuple = ()        # static copies for kernel compile-time use
     cell_t: tuple = ()
 
     def tree_flatten(self):
-        leaves = (self.table, self.cell_first, self.cell_nsl,
-                  self.slice_cell, self.table2, self.cell_first2,
-                  self.cell_nsl2, self.slice_cell2,
+        leaves = (self.table, self.table2, self.cell_gfirst, self.cell_gcnt,
                   self.lo, self.cell, self.inv_cell)
         return leaves, (self.side, self.s_cap, self.n_slices,
-                        self.lo_t, self.cell_t)
+                        self.n_entries, self.lo_t, self.cell_t)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -104,12 +108,13 @@ class GridIndex:
 
 
 def _feature_rows(gmm) -> np.ndarray:
-    """[N, 16] feature rows, same layout as kernels/pathtrace.pack_table."""
+    """[N, 16] feature rows, same layout as kernels/pathtrace.pack_table
+    except feature 9 (the unused c0 there) is reserved for the cell id."""
     n = gmm.n
     rows = jnp.concatenate([
         gmm.icpack(),                                    # 0-5
         gmm.qvec(),                                      # 6-8
-        gmm.c0()[:, None],                               # 9
+        jnp.zeros((n, 1), jnp.float32),                  # 9 (cell id slot)
         (gmm.density * gmm.norm)[:, None],               # 10
         gmm.albedo[:, None],                             # 11
         jnp.ones((n, 1), jnp.float32),                   # 12 valid
@@ -120,9 +125,10 @@ def _feature_rows(gmm) -> np.ndarray:
 
 def _benign_pad_row() -> np.ndarray:
     """A padding feature row that contributes nothing: identity quadratic,
-    zero density, valid=0."""
+    zero density, valid=0, cell id -1."""
     r = np.zeros(16, np.float32)
     r[0:3] = 1.0
+    r[9] = -1.0
     return r
 
 
@@ -147,32 +153,55 @@ def _bin_gaussians(i0, i1, sy: int, sz: int):
     return (ix * sy + iy) * sz + iz, g_ids
 
 
+# cost-model constants fitted to the round-3 v5e profile
+# (benchmarks/breakdown_r3.json; tune with scripts/tune_grid.py)
+C_SORT_SLOT = 3.6   # ns per work-list slot (payload + sort + unsort)
+C_LANE = 0.11       # ns per swept (item, entry-lane) in the span kernel
+C_SOLVE = 10.0      # ns per solve-view slice per scattered ray
+C_DDA = 1.5         # ns per crossing slot (odd-even network + planes)
+
+
 def choose_side(bmin, bmax, lo, hi) -> int:
-    """Pick the grid resolution minimizing estimated per-ray cost in
-    kernel-eval units: crossings (~1.5*side) times the slice-quantized
-    cell occupancy, plus the sort/scan cost of the work-list slots (every
-    static crossing slot and per-cell dummy rides the item sorts —
-    measured ~65 eval-equivalents per slot on v5e), plus a mild skew
-    penalty (deep cells slow the critical-cell solve)."""
+    """Pick the grid resolution minimizing estimated ns per ray:
+
+      dda + sort-tax * slots
+      + occupied crossings * span_slices * H2 lanes * C_LANE   (tau pass)
+      + mean cell depth in solve slices * C_SOLVE              (solve)
+
+    Entry-granular packing (no per-cell lane quantization) keeps
+    span_slices ~ mean cell entries / H2; for this scene family the
+    supports are fat (every gaussian spans many cells), so occupancy per
+    cell floors near N x support-volume-fraction and coarse-to-middling
+    sides win."""
     best, best_cost = None, float("inf")
     fallback, fallback_cap = 2, 10 ** 9
-    for side in range(2, 17):
+    for side in range(2, 25):
         cell = (hi - lo) / side
         i0 = np.clip(((bmin - lo) / cell).astype(np.int64), 0, side - 1)
         i1 = np.clip(((bmax - lo) / cell).astype(np.int64), 0, side - 1)
-        cell_ids, _ = _bin_gaussians(i0, i1, side, side)
-        counts = np.bincount(cell_ids, minlength=side ** 3)
-        padded = float((((counts + H - 1) // H) * H).sum())
-        s_cap = int(max((counts.max() + H - 1) // H, 1))
+        spans = i1 - i0 + 1
+        dup = spans.prod(axis=1)
+        e = float(dup.sum())
+        counts = np.bincount(_bin_gaussians(i0, i1, side, side)[0],
+                             minlength=side ** 3)
+        occ = counts > 0
+        gend = np.cumsum(counts)
+        gfirst = gend - counts
+        span_sl = np.where(counts > 0,
+                           (gend - 1) // H - gfirst // H + 1, 0)
+        s_cap = int(max(span_sl.max(), 1))
         if s_cap < fallback_cap:
             fallback, fallback_cap = side, s_cap
         if s_cap > S_CAP_MAX:
-            # deep cells blow up the solve-pass VMEM scratch
-            # (9 arrays x s_cap*H x 128 lanes); such sides are infeasible
             continue
-        evals = 1.5 * side * padded / side ** 3
-        sort_slots = 3 * side + 3 + side ** 3 * 127 / 32768.0
-        cost = evals + 65.0 * sort_slots + 16.0 * s_cap
+        occ_frac = occ.mean()
+        occ_crossings = 1.5 * side * occ_frac
+        mean_entries = e / max(occ.sum(), 1)
+        span2 = np.ceil(mean_entries / 128.0) + 0.5     # span-view slices
+        slots = 3 * side + 3
+        tau_ns = occ_crossings * span2 * 128.0 * C_LANE
+        solve_ns = (span_sl.sum() / max(occ.sum(), 1)) * C_SOLVE
+        cost = C_DDA * slots + C_SORT_SLOT * slots + tau_ns + solve_ns
         if cost < best_cost:
             best, best_cost = side, cost
     return best if best is not None else fallback
@@ -198,71 +227,46 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
     cell_ids, g_ids = _bin_gaussians(i0, i1, sy, sz)
     counts = np.bincount(cell_ids, minlength=sx * sy * sz).astype(np.int64)
 
-    nsl = (counts + H - 1) // H                       # slices per cell
-    first = np.zeros_like(nsl)
-    first[1:] = np.cumsum(nsl)[:-1]
-    s_total = int(nsl.sum())
-    s_cap = int(max(nsl.max(), 1))
+    gfirst = np.zeros_like(counts)
+    gfirst[1:] = np.cumsum(counts)[:-1]
+    e_total = int(counts.sum())
+    s_total = (e_total + H - 1) // H
 
-    # scatter gaussians into their cell's slice run (sorted by cell)
+    # per-cell slice span (entries are packed contiguously; a cell's span
+    # includes the partial slices at both ends)
+    gend = gfirst + counts
+    span = np.where(counts > 0, (gend - 1) // H - gfirst // H + 1, 0)
+    s_cap = int(max(span.max(), 1))
+
+    # scatter entries into cell-sorted order
     order = np.argsort(cell_ids, kind="stable")
     rows = _feature_rows(gmm)
     pad = _benign_pad_row()
-    # tail padding covers both the clamped index map (s_cap) and the
-    # span kernel's FETCH-chunk over-read
-    s_pad = max(s_cap, 8)
-    table = np.tile(pad, (s_total + s_pad, H, 1)).astype(np.float32)
-    sorted_cells = cell_ids[order]
-    sorted_g = g_ids[order]
-    # rank within cell
-    cum = np.zeros(sx * sy * sz + 1, np.int64)
-    cum[1:] = np.cumsum(counts)
-    rank = np.arange(cell_ids.size) - cum[sorted_cells]
-    slot = first[sorted_cells] * H + rank             # row in flat table
-    flat = table.reshape(-1, 16)
-    flat[slot] = rows[sorted_g]
+    s_pad = 8                     # covers the span kernel's FETCH over-read
+    flat = np.tile(pad, ((s_total + s_pad) * H, 1)).astype(np.float32)
+    flat[:e_total] = rows[g_ids[order]]
+    flat[:e_total, 9] = cell_ids[order].astype(np.float32)
     table = flat.reshape(s_total + s_pad, H, 16)
 
-    # cell owning each table slice (-1 for padding slices)
-    slice_cell = np.full(s_total + s_pad, -1, np.int32)
-    for_c = np.repeat(np.arange(sx * sy * sz), nsl)
-    slice_cell[: s_total] = for_c
-
-    # second packing for the span-fetch tau kernel: slices of H2=128
-    # gaussians on lanes, features on sublanes ([S2, 16, 128] — the minor
-    # dim must be 128 for HBM DMA slicing).  Same cell runs, coarser
-    # quantization.
-    nsl2 = (counts + H2 - 1) // H2
-    first2 = np.zeros_like(nsl2)
-    first2[1:] = np.cumsum(nsl2)[:-1]
-    s2_total = int(nsl2.sum())
-    s2_pad = 8
-    tbl = np.zeros((s2_total + s2_pad, H2, 16), np.float32)
-    tbl[:, :, 0:3] = 1.0                              # benign padding
-    slot2 = first2[sorted_cells] * H2 + (
-        np.arange(cell_ids.size) - cum[sorted_cells])
-    flat2 = tbl.reshape(-1, 16)
-    flat2[slot2] = rows[sorted_g]
+    # span view: same flat entries, H2=128 on lanes, features on sublanes
+    s2_total = (e_total + H2 - 1) // H2
+    flat2 = np.tile(pad, ((s2_total + s_pad) * H2, 1)).astype(np.float32)
+    flat2[:e_total] = flat[:e_total]
     table2 = np.ascontiguousarray(np.moveaxis(
-        flat2.reshape(s2_total + s2_pad, H2, 16), 1, 2))
-    slice_cell2 = np.full(s2_total + s2_pad, -1, np.int32)
-    slice_cell2[: s2_total] = np.repeat(np.arange(sx * sy * sz), nsl2)
+        flat2.reshape(s2_total + s_pad, H2, 16), 1, 2))
 
     return GridIndex(
         table=jnp.asarray(table),
-        cell_first=jnp.asarray(first.astype(np.int32)),
-        cell_nsl=jnp.asarray(nsl.astype(np.int32)),
-        slice_cell=jnp.asarray(slice_cell),
         table2=jnp.asarray(table2),
-        cell_first2=jnp.asarray(first2.astype(np.int32)),
-        cell_nsl2=jnp.asarray(nsl2.astype(np.int32)),
-        slice_cell2=jnp.asarray(slice_cell2),
+        cell_gfirst=jnp.asarray(gfirst.astype(np.int32)),
+        cell_gcnt=jnp.asarray(counts.astype(np.int32)),
         lo=jnp.asarray(lo, jnp.float32),
         cell=jnp.asarray(cell, jnp.float32),
         inv_cell=jnp.asarray(1.0 / cell, jnp.float32),
         side=(sx, sy, sz),
         s_cap=s_cap,
         n_slices=s_total,
+        n_entries=e_total,
         lo_t=tuple(float(v) for v in lo),
         cell_t=tuple(float(v) for v in cell),
     )
@@ -360,15 +364,15 @@ def dda_crossings(grid: GridIndex, origin, direction, tmax=None):
 # more.  The whole work-list is therefore built from sorts and dense scans
 # only: payload rides through the sorts, per-run ranks come from a
 # boundary+cummax scan, run padding comes from pre-appended dummy items
-# (127 per cell) trimmed by a second stable sort, and the final un-sort of
-# kernel outputs is a third sort keyed by the carried item id.
+# trimmed by a second stable sort, and the final un-sort of kernel outputs
+# is a third sort keyed by the carried item id.
 
 
 def sort_items(grid: GridIndex, cells, payload, blk: int = 512):
     """Sort work items by cell, **without padding**: blocks are simply
     ``blk`` consecutive sorted items that may span several adjacent cells.
-    The span-fetch tau kernel (kernels/gridtrace.tau_pass) streams the
-    covered slice range and masks per item cell.
+    The span-fetch tau kernel (kernels/gridtrace.span_tau_pass) streams the
+    covered slice range and masks per (item, entry) cell equality.
 
     cells [M] int32 (-1 = invalid); payload: list of [M] arrays.
     Returns (cell_sorted [P] int32, payload_sorted, s_lo [NB], n_sl [NB],
@@ -389,6 +393,8 @@ def sort_items(grid: GridIndex, cells, payload, blk: int = 512):
     key_s, id_s, *pay_s = s
 
     # per-block slice span from the min/max valid cell in the block
+    # (entry-granular: a block's span covers from its first cell's first
+    # entry to its last cell's last entry, in whole table slices)
     kb = key_s.reshape(-1, blk)
     valid = kb < c
     c_min = jnp.min(jnp.where(valid, kb, c), axis=1)
@@ -396,10 +402,11 @@ def sort_items(grid: GridIndex, cells, payload, blk: int = 512):
     any_v = jnp.any(valid, axis=1)
     safe_min = jnp.clip(c_min, 0, c - 1)
     safe_max = jnp.clip(c_max_, 0, c - 1)
-    s_lo = jnp.where(any_v, grid.cell_first2[safe_min], 0)
-    s_hi = jnp.where(any_v, grid.cell_first2[safe_max]
-                     + grid.cell_nsl2[safe_max], 0)
-    n_sl = (s_hi - s_lo).astype(jnp.int32)
+    e_lo = grid.cell_gfirst[safe_min]
+    e_hi = grid.cell_gfirst[safe_max] + grid.cell_gcnt[safe_max]
+    s_lo = jnp.where(any_v, e_lo // H2, 0)
+    s_hi = jnp.where(any_v, (e_hi + H2 - 1) // H2, 0)
+    n_sl = jnp.maximum(s_hi - s_lo, 0).astype(jnp.int32)
 
     def unsort(*xs_sorted):
         s3 = jax.lax.sort([id_s] + list(xs_sorted), num_keys=1,

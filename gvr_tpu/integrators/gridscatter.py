@@ -31,7 +31,7 @@ import numpy as np
 from gvr_tpu.config import RenderConfig
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.accel.grid import GridIndex, build_grid, dda_crossings, \
-    pad_sort_items, sort_items
+    pad_sort_items, sort_items, H
 from gvr_tpu.kernels.gridtrace import solve_pass, span_tau_pass, BLK, \
     TAU_BLK
 from gvr_tpu.ops.sampling import path_uniforms
@@ -41,12 +41,20 @@ NO_SCATTER = -1.0
 
 
 def _block_tables(grid: GridIndex, block_cell):
-    """Per-block (first_slice, n_slices) prefetch arrays; dead blocks
-    (cell -1) get nsl=0 so the kernel skips them."""
+    """Per-block (first_slice, n_slices, cell) prefetch arrays for the
+    solve pass; dead blocks (cell -1) get nsl=0 so the kernel skips them.
+    Entry-granular table: a cell's entries start at cell_gfirst[c] and its
+    span may share edge slices with neighboring cells (masked in-kernel by
+    the entry's cell-id feature)."""
     safe = jnp.clip(block_cell, 0, grid.n_cells - 1)
-    first = jnp.where(block_cell >= 0, grid.cell_first[safe], 0)
-    nsl = jnp.where(block_cell >= 0, grid.cell_nsl[safe], 0)
-    return first.astype(jnp.int32), nsl.astype(jnp.int32)
+    gfirst = grid.cell_gfirst[safe]
+    gcnt = grid.cell_gcnt[safe]
+    first = gfirst // H
+    span = jnp.where(gcnt > 0, (gfirst + gcnt - 1) // H - first + 1, 0)
+    live = block_cell >= 0
+    return (jnp.where(live, first, 0).astype(jnp.int32),
+            jnp.where(live, span, 0).astype(jnp.int32),
+            block_cell.astype(jnp.int32))
 
 
 def _bcast3(v, b, c):
@@ -65,12 +73,19 @@ def _pick(x, idx):
 
 def grid_tau_crossings(grid: GridIndex, o, d, tmax=None, interpret=False):
     """Per-crossing optical depth, t-ordered.  Returns (tau [B,C],
-    cells [B,C], t_in [B,C], t_out [B,C]); invalid slots have tau 0.
+    cells [B,C], t_in [B,C], t_out [B,C]); invalid/empty slots have tau 0.
 
     Work items are cell-sorted (one lax.sort carrying the payload) and fed
     to the span-fetch kernel in blocks of TAU_BLK consecutive items; the
-    crossing intervals are recomputed in-kernel from the cell boxes, so
-    items carry only (o, d, tmax)."""
+    crossing intervals are recomputed in-kernel from the entries' cell
+    boxes, so items carry only (o, d, tmax, cell).
+
+    Empty-cell crossings are NOT filtered: the per-item occupancy gather
+    measured ~10 ns/item on v5e (~5 ms per dispatch — as costly as the
+    kernel itself), and this scene family's fat supports keep ~90%+ of
+    cells occupied at every useful side, so there is nothing to win.
+    Empty cells contribute no entries to any block's slice span, so their
+    only cost is item-slot dilution."""
     b = o.shape[0]
     cells, t_in, t_out = dda_crossings(grid, o, d, tmax)
     c = grid.c_max
@@ -80,13 +95,12 @@ def grid_tau_crossings(grid: GridIndex, o, d, tmax=None, interpret=False):
     payload = _bcast3(o, b, c) + _bcast3(d, b, c) + [tm_b]
     cell_s, pay_s, s_lo, n_sl, unsort = sort_items(
         grid, cells.reshape(-1), payload, TAU_BLK)
-    p = cell_s.shape[0]
-    items = jnp.stack(list(pay_s) + [jnp.zeros(p, jnp.float32)], axis=-1)
-    icell = cell_s[:, None]
+    # col 7: the item's cell id (exact in f32; invalid items carry n_cells,
+    # which matches no entry)
+    items = jnp.stack(list(pay_s) + [cell_s.astype(jnp.float32)], axis=-1)
 
-    tau_flat = span_tau_pass(grid.table2, s_lo, n_sl, grid.slice_cell2,
-                             items, icell, grid.side, grid.lo_t,
-                             grid.cell_t, interpret=interpret)
+    tau_flat = span_tau_pass(grid.table2, s_lo, n_sl, items, grid.side,
+                             grid.lo_t, grid.cell_t, interpret=interpret)
     tau = unsort(tau_flat).reshape(b, c)
     tau = jnp.where(cells >= 0, tau, 0.0)
     return tau, cells, t_in, t_out
@@ -134,12 +148,12 @@ def grid_solve_from_crossings(grid: GridIndex, o, d, tau, cells, t_in,
     payload = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                tin_c, tout_c, residual]
     pay_f, block_cell2, unsort2 = pad_sort_items(grid, cells2, payload, BLK)
-    first2, nsl2 = _block_tables(grid, block_cell2)
+    first2, nsl2, bcell2 = _block_tables(grid, block_cell2)
     p2 = block_cell2.shape[0] * BLK
     items = jnp.concatenate([
         jnp.stack(pay_f, axis=0),
         jnp.zeros((7, p2), jnp.float32)], axis=0)               # [16, P2]
-    t_flat, alb_flat = solve_pass(grid.table, first2, nsl2, items,
+    t_flat, alb_flat = solve_pass(grid.table, first2, nsl2, bcell2, items,
                                   grid.s_cap, solver_iters, interpret)
     t_u, alb_u = unsort2(t_flat, alb_flat)
     t_sc = jnp.where(scattered, t_u, NO_SCATTER)

@@ -164,7 +164,8 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
                                cfg: RenderConfig, n_bounces: int = 4,
                                sample=0, seed: int = 0,
                                candidate_k: int = 0,
-                               rr_after: int = 0, rr_cap: float = 0.9):
+                               rr_after: int = 0, rr_cap: float = 0.9,
+                               return_overflow: bool = False):
     """Differentiable multi-scatter estimator for inverse rendering.
 
     Differences from the forward flagship (both documented, both unbiased):
@@ -197,10 +198,15 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
         return path_uniforms(rng_ids, sample, bounce, n, seed)
 
     def body(state, bounce):
-        o, d, thr, rad, alive = state
+        o, d, thr, rad, alive, n_over = state
         rg = tau_coeffs(gmm, o, d)
         if use_compact:
-            rg, alb_k, _ = compact_candidates(rg, gmm.albedo, candidate_k)
+            rg, alb_k, overflow = compact_candidates(rg, gmm.albedo,
+                                                     candidate_k)
+            # bias honesty (the forward path got this in round 2): count
+            # live lanes whose hit set exceeded k — their dropped
+            # candidates silently bias gradients at dense scenes
+            n_over = n_over + jnp.sum((overflow & alive).astype(jnp.int32))
         xi = uniforms(bounce)
 
         tau_tot = tau_total(rg)
@@ -245,12 +251,14 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
         new_d = _dir_from_xi(xi[:, 6:8])
         o = jnp.where(alive_n[:, None], pos, o)
         d = jnp.where(alive_n[:, None], new_d, d)
-        return (o, d, thr, rad, alive_n), None
+        return (o, d, thr, rad, alive_n, n_over), None
 
     state = (origin, direction, jnp.ones((b, 3)), jnp.zeros((b, 3)),
-             jnp.ones((b,), bool))
-    (o, d, thr, rad, alive), _ = jax.lax.scan(
+             jnp.ones((b,), bool), jnp.int32(0))
+    (o, d, thr, rad, alive, n_over), _ = jax.lax.scan(
         body, state, jnp.arange(n_bounces))
+    if return_overflow:
+        return rad, n_over
     return rad
 
 
@@ -456,9 +464,11 @@ def _wavefront_fn(cfg: RenderConfig, static_lights, n_shards: int = 1):
 
 
 # above this Gaussian count the uniform-grid engine wins over dense kernels
-# (measured on v5e: dense VMEM kernel best <= ~256, grid best >= ~600;
-# between them the chunk-streaming kernel and grid are close)
-GRID_MIN_N = 600
+# (round-3 profile: dense big-kernel 330 ns/ray at 1000g vs grid 440 —
+# dense keeps 1000g, fixing the round-2 crossover regression; the grid's
+# per-ray cost is ~flat in N for these fat-support scenes, so it wins
+# from a few thousand up)
+GRID_MIN_N = 2000
 
 
 def _grid_enabled(cfg: RenderConfig, n: int) -> bool:

@@ -132,6 +132,21 @@ def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
         updates, opt_state = optimizer.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
+    if candidate_k > 0:
+        # bias-honesty probe: fraction of live (ray, bounce) lanes whose
+        # hit set exceeded candidate_k (dropped candidates bias gradients;
+        # mirrors the forward path's round-2 overflow honesty)
+        @jax.jit
+        def overflow_probe(p, template, o, d, rng_ids, seed):
+            from gvr_tpu.integrators.multiscatter import (
+                multiscatter_radiance_diff)
+            gmm = GaussianMixture.from_parameters(p)
+            _, n_over = multiscatter_radiance_diff(
+                template.with_medium(gmm), o, d, rng_ids, None,
+                n_bounces=n_bounces, seed=seed, candidate_k=candidate_k,
+                rr_after=rr_after, return_overflow=True)
+            return n_over
+
     rng = np.random.default_rng(0)
     t0 = time.time()
     os.makedirs(cfg.out_dir, exist_ok=True)
@@ -147,8 +162,18 @@ def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
                                        o, d, rng_ids, tgt, seed_arr)
 
         if it % cfg.save_every == 0:
+            over = ""
+            if candidate_k > 0:
+                n_over = int(overflow_probe(params, scene_init, o, d,
+                                            rng_ids, it))
+                frac = n_over / (batch_pixels * n_bounces)
+                over = f" cand-overflow {frac:.2%}"
+                if frac > 0.01:
+                    log(f"[fit] WARNING: {frac:.2%} of lanes dropped "
+                        f"candidates (candidate_k={candidate_k} too small "
+                        f"— gradients are biased)")
             log(f"[fit] iter {it} loss {float(loss):.5f} "
-                f"elapsed {time.time() - t0:.1f}s")
+                f"elapsed {time.time() - t0:.1f}s{over}")
             if save_snapshot is not None:
                 save_snapshot(it, scene_init.with_medium(
                     GaussianMixture.from_parameters(params)))

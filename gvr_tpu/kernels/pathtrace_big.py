@@ -207,8 +207,11 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
             scattered = tau_tot > target
             tgt = jnp.minimum(target, tau_tot * 0.999999)
 
+            # Newton + Illinois fallback (see ops/solvers); the falsi
+            # endpoint value uses the *compacted* tau (tau_over shifts the
+            # escape test only — the root lives in the compacted profile)
             def newton_body(_, st):
-                lo, hi, t = st
+                lo, hi, flo, fhi, t = st
                 z = ssa * t + szoff
                 ez = jnp.exp(-0.5 * z * z)
                 ferf = _erf_from_exp(z * SQRT_HALF, ez)
@@ -219,15 +222,25 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
                 rho = jnp.where(inside, speak * ez, 0.0)
                 sig = jnp.sum(rho, axis=1, keepdims=True)
                 f = tau - tgt
-                lo = jnp.where(f < 0.0, t, lo)
-                hi = jnp.where(f < 0.0, hi, t)
+                neg = f < 0.0
+                flo = jnp.where(neg, f, flo * 0.5)
+                fhi = jnp.where(neg, fhi * 0.5, f)
+                lo = jnp.where(neg, t, lo)
+                hi = jnp.where(neg, hi, t)
                 t_n = t - f / jnp.maximum(sig, 1e-30)
                 good = (t_n > lo) & (t_n < hi)
-                return lo, hi, jnp.where(good, t_n, 0.5 * (lo + hi))
+                denom = fhi - flo
+                t_f = hi - fhi * (hi - lo) / jnp.where(
+                    jnp.abs(denom) > 1e-30, denom, 1e-30)
+                t_f = jnp.clip(t_f, lo + 0.05 * (hi - lo),
+                               hi - 0.05 * (hi - lo))
+                return lo, hi, flo, fhi, jnp.where(good, t_n, t_f)
 
             t_init = 0.5 * (t_lo + t_hi)
-            _, _, t_sc = jax.lax.fori_loop(0, solver_iters, newton_body,
-                                           (t_lo, t_hi, t_init))
+            flo0 = -tgt
+            fhi0 = jnp.maximum(tau_tot - tau_over - tgt, 1e-12)
+            *_, t_sc = jax.lax.fori_loop(0, solver_iters, newton_body,
+                                         (t_lo, t_hi, flo0, fhi0, t_init))
             t_sc = jnp.clip(t_sc, t_lo, t_hi)
 
             z = ssa * t_sc + szoff

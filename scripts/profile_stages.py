@@ -63,6 +63,15 @@ def make_rays(b, seed=0):
     return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
 
 
+def baseline_overhead(o, d):
+    """Per-iteration cost of the trivial chained step — the ~29 ms tunnel
+    dispatch latency divided by REP plus loop overhead.  Subtract this
+    from every stage measurement (it polluted the first profile pass)."""
+    def f_triv(o, d, i):
+        return o + 1e-9 * d, d
+    return timed(chain(f_triv), o, d) / REP
+
+
 def profile_dense(scene_path, name, results):
     import jax
     import jax.numpy as jnp
@@ -94,9 +103,10 @@ def profile_dense(scene_path, name, results):
             return o2, d
         return chain(f)
 
-    rows = {}
+    base = baseline_overhead(o, d)
+    rows = {"dispatch_baseline": base}
     for iters in (0, 5, 10):
-        dt = timed(bounce(iters), o, d) / REP
+        dt = timed(bounce(iters), o, d) / REP - base
         rows[f"bounce_iters{iters}"] = dt
     per_iter = (rows["bounce_iters10"] - rows["bounce_iters0"]) / 10
     rows["per_newton_iter"] = per_iter
@@ -120,13 +130,14 @@ def profile_grid(scene_path, name, results):
     grid = grid_for(sc.medium)
     o, d = make_rays(B)
     u = jnp.full((B,), 0.5, jnp.float32)
-    rows = {}
+    base = baseline_overhead(o, d)
+    rows = {"dispatch_baseline": base}
 
     # stage: DDA alone
     def f_dda(o, d, i):
         cells, t_in, t_out = dda_crossings(grid, o, d)
         return o + 1e-9 * t_in[:, :1], d
-    rows["dda"] = timed(chain(f_dda), o, d) / REP
+    rows["dda"] = timed(chain(f_dda), o, d) / REP - base
 
     # stage: DDA + sort + unsort (no kernel)
     def f_sort(o, d, i):
@@ -138,13 +149,13 @@ def profile_grid(scene_path, name, results):
             grid, cells.reshape(-1), flat, TAU_BLK)
         back = unsort(pay_s[0])
         return o + 1e-9 * back.reshape(b, c)[:, :1], d
-    rows["dda_sort_unsort"] = timed(chain(f_sort), o, d) / REP
+    rows["dda_sort_unsort"] = timed(chain(f_sort), o, d) / REP - base
 
     # stage: full tau pass (DDA + sort + span kernel + unsort)
     def f_tau(o, d, i):
         tau, cells, t_in, t_out = grid_tau_crossings(grid, o, d)
         return o + 1e-9 * tau[:, :1], d
-    rows["tau_pass_full"] = timed(chain(f_tau), o, d) / REP
+    rows["tau_pass_full"] = timed(chain(f_tau), o, d) / REP - base
     rows["span_kernel"] = rows["tau_pass_full"] - rows["dda_sort_unsort"]
 
     # stage: tau + solve (one full extension step)
@@ -153,7 +164,7 @@ def profile_grid(scene_path, name, results):
         t_sc, scat, alb, tt = grid_solve_from_crossings(
             grid, o, d, tau, cells, t_in, t_out, u)
         return o + 1e-9 * (t_sc[:, None] + alb[:, None]), d
-    rows["tau_plus_solve"] = timed(chain(f_solve), o, d) / REP
+    rows["tau_plus_solve"] = timed(chain(f_solve), o, d) / REP - base
     rows["solve_pass"] = rows["tau_plus_solve"] - rows["tau_pass_full"]
     rows["ns_per_ray_tau"] = rows["tau_pass_full"] / B * 1e9
     results[f"grid_{name}"] = {
