@@ -97,16 +97,26 @@ def _make_span_tau_kernel(side, grid_lo, grid_cell, n_buf):
     clx, cly, clz = grid_cell
 
     def kernel(slo_ref, nsl_ref, tab_hbm, item_ref, out_ref, buf, acc,
-               sems):
+               sems, ctr):
+        # Cross-block software pipeline: the grid is sequential
+        # ("arbitrary"), scratch persists across steps, and every block's
+        # LAST fetch is the NEXT block's first chunk — so no block stalls
+        # on a cold first DMA.  ``ctr`` (SMEM) is the global chunk counter
+        # whose parity picks the cyclic slot; every block consumes
+        # max(nchunks, 1) global chunks (dead blocks burn one) to keep
+        # the start/wait pairing uniform.
         b = pl.program_id(0)
+        nb = pl.num_programs(0)
         lo = slo_ref[b]
         n = nsl_ref[b]
+        b_next = jnp.minimum(b + 1, nb - 1)
+        lo_next = slo_ref[b_next]
 
         acc[:, :] = jnp.zeros_like(acc[:, :])
 
-        def start_fetch(k, slot):
+        def start_fetch(src, slot):
             pltpu.make_async_copy(
-                tab_hbm.at[pl.ds(lo + k * FETCH, FETCH)],
+                tab_hbm.at[pl.ds(src, FETCH)],
                 buf.at[slot], sems.at[slot]).start()
 
         col_i = lambda f: item_ref[:, f:f + 1]              # [BLK, 1]
@@ -123,20 +133,35 @@ def _make_span_tau_kernel(side, grid_lo, grid_cell, n_buf):
         inv_dz = 1.0 / sd(dz)
 
         nchunks = (n + FETCH - 1) // FETCH
+        cchunks = jnp.maximum(nchunks, 1)
 
-        @pl.when(nchunks > 0)
+        @pl.when(b == 0)
         def _():
-            start_fetch(0, 0)
+            ctr[0] = 0
+            start_fetch(lo, 0)
 
-            def chunk_body(k, _):
-                slot = jax.lax.rem(k, n_buf)
-                @pl.when(k + 1 < nchunks)
-                def _():
-                    start_fetch(k + 1, jax.lax.rem(k + 1, n_buf))
-                pltpu.make_async_copy(
-                    tab_hbm.at[pl.ds(lo + k * FETCH, FETCH)],
-                    buf.at[slot], sems.at[slot]).wait()
+        g0 = ctr[0]
 
+        def chunk_body(k, _):
+            slot = jax.lax.rem(g0 + k, n_buf)
+            nxt_src = jnp.where(k + 1 < nchunks, lo + (k + 1) * FETCH,
+                                lo_next)
+
+            # the very last global chunk has no successor to prefetch
+            @pl.when((b < nb - 1) | (k + 1 < cchunks))
+            def _():
+                start_fetch(nxt_src, jax.lax.rem(g0 + k + 1, n_buf))
+
+            pltpu.make_async_copy(
+                tab_hbm.at[pl.ds(lo + k * FETCH, FETCH)],
+                buf.at[slot], sems.at[slot]).wait()
+
+            @pl.when(k < nchunks)
+            def _():
+                _process(slot)
+            return 0
+
+        def _process(slot):
                 for s in range(FETCH):
                     col = lambda f: buf[slot, s, f:f + 1, :]   # [1, H2]
                     gcell = col(9)                             # own cell id
@@ -169,9 +194,9 @@ def _make_span_tau_kernel(side, grid_lo, grid_cell, n_buf):
                         None, row, col=col)                    # [BLK, H2]
                     acc[:, 0:1] = acc[:, 0:1] + jnp.sum(
                         jnp.where(ok, tau_i, 0.0), axis=1, keepdims=True)
-                return 0
 
-            jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+        jax.lax.fori_loop(0, cchunks, chunk_body, 0)
+        ctr[0] = g0 + cchunks
 
         out_ref[:, :] = acc[:, :]
 
@@ -206,6 +231,7 @@ def span_tau_pass(table2, slo_arr, nsl_arr, items, side, grid_lo,
                 pltpu.VMEM((n_buf, FETCH, 16, 128), jnp.float32),
                 pltpu.VMEM((TAU_BLK, 8), jnp.float32),
                 pltpu.SemaphoreType.DMA((n_buf,)),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         ),
         interpret=interpret,

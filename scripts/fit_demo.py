@@ -39,6 +39,13 @@ def main():
                          "scenes need enough bounces that the estimator "
                          "is unbiased vs the full-transport target")
     ap.add_argument("--rr-after", dest="rr_after", type=int, default=4)
+    ap.add_argument("--candidate-k", dest="candidate_k", type=int,
+                    default=0,
+                    help="compact the differentiable solver to the k "
+                         "nearest-entering Gaussians per ray (the big-N "
+                         "scaling lever; overflow fraction is logged)")
+    ap.add_argument("--batch", type=int, default=4096,
+                    help="pixels per optimizer step")
     ap.add_argument("--out", default="/tmp/fit_demo")
     ap.add_argument("--gif", action="store_true")
     args = ap.parse_args()
@@ -78,8 +85,9 @@ def main():
                     out_dir=args.out)
     t0 = time.time()
     fitted = fit_gaussians(scene_init, cam, target, cfg,
-                           batch_pixels=4096, n_bounces=args.bounces,
-                           rr_after=args.rr_after)
+                           batch_pixels=args.batch, n_bounces=args.bounces,
+                           rr_after=args.rr_after,
+                           candidate_k=args.candidate_k)
     print(f"fit time: {time.time() - t0:.1f}s")
 
     final_img = render_multiscatter(fitted, cam, rc)
