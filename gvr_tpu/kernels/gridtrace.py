@@ -345,8 +345,8 @@ def _make_solve_kernel(s_cap, solver_iters):
                 denom = fhi - flo
                 t_f = hi_b - fhi * (hi_b - lo_b) / jnp.where(
                     jnp.abs(denom) > 1e-30, denom, 1e-30)
-                t_f = jnp.clip(t_f, lo_b + 0.05 * (hi_b - lo_b),
-                               hi_b - 0.05 * (hi_b - lo_b))
+                # unclamped Illinois (see ops/solvers.FALSI_MARGIN)
+                t_f = jnp.clip(t_f, lo_b, hi_b)
                 return lo_b, hi_b, flo, fhi, jnp.where(good, t_n, t_f)
 
             t_init = 0.5 * (t_lo + t_hi)

@@ -50,7 +50,11 @@ def _bracket(rg: RayGaussians):
     return t_lo, t_hi, tau_max
 
 
-FALSI_MARGIN = 0.05
+# Illinois clamp margin as a fraction of the bracket.  0 = plain clip to
+# [lo, hi] (standard Illinois).  The round-2 value 0.05 blocked convergence
+# whenever the root sat near a bracket edge (steep-mixture rays with small
+# targets): measured tau-residual p99 3.5e-3 at 10 iters vs 2.2e-6 at 0.
+FALSI_MARGIN = 0.0
 
 
 def _safeguarded_newton(rg, target, t_lo, t_hi, iters, use_newton=True):

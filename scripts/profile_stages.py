@@ -117,6 +117,115 @@ def profile_dense(scene_path, name, results):
     print(f"dense {name}: {json.dumps(results[f'dense_{name}'])}", flush=True)
 
 
+def profile_dense_scale(scene_path, name, results):
+    """Separate the dense bounce's RAW kernel cost from its layout glue
+    (pad + [B,3]->[3,B] transposes + output stack) and sweep the batch
+    size: the round-3 breakdown showed ~57 ns/ray-pair of N-independent
+    cost at B=32k — this locates it."""
+    import jax
+    import jax.numpy as jnp
+    from gvr_tpu.scene.scene import load_gmm
+    from gvr_tpu.kernels.pathtrace import (pack_table, _bounce_call,
+                                           bounce_step_pallas, auto_block)
+
+    sc = load_gmm(scene_path)
+    gmm = sc.medium
+    table = pack_table(gmm)
+    lights = tuple(tuple(float(v) for v in r)
+                   for r in np.asarray(sc.lights_p))
+    inten = tuple(tuple(float(v) for v in r)
+                  for r in np.asarray(sc.lights_i))
+    env = tuple(float(v) for v in np.asarray(sc.env_color))
+    block = auto_block(table.shape[0])
+    rows = {}
+    for b in (1 << 15, 1 << 16, 1 << 17):
+        o, d = make_rays(b)
+        xi = jnp.tile(jnp.linspace(0.05, 0.95, 9)[None, :], (b, 1))
+        base = baseline_overhead(o, d)
+
+        rays16 = jnp.concatenate(
+            [o.T, d.T, xi[:, :5].T, jnp.zeros((5, b), jnp.float32)], axis=0)
+
+        def f_raw(r16, _d, i):
+            out = _bounce_call(table, r16, lights, inten, env, 10, block,
+                               False)
+            return r16 + 1e-9 * out[:1], _d
+
+        def f_glue(o_, d_, i):
+            t_sc, scat, alb, li, tau = bounce_step_pallas(
+                table, o_, d_, xi, lights, inten, env, solver_iters=10)
+            return o_ + 1e-6 * t_sc[:, None] + 1e-9 * li, d_
+
+        raw = timed(chain(f_raw), rays16, d) / REP - base
+        glue = timed(chain(f_glue), o, d) / REP - base
+        rows[f"B{b}"] = {
+            "raw_kernel_ms": round(raw * 1e3, 4),
+            "with_glue_ms": round(glue * 1e3, 4),
+            "raw_ns_per_ray": round(raw / b * 1e9, 2),
+            "glue_ns_per_ray": round((glue - raw) / b * 1e9, 2),
+        }
+        print(f"dense_scale {name} B={b}: {json.dumps(rows[f'B{b}'])}",
+              flush=True)
+    results[f"dense_scale_{name}"] = {"n": int(gmm.n), "block": block,
+                                      **rows}
+
+
+def profile_sortpath(scene_path, name, results):
+    """Sub-stage breakdown of the tau work-list machinery: where the
+    ~4 ns/item between raw lax.sort (~0.1) and the measured sort+unsort
+    cost goes (payload broadcasts, pad, [P,8] stack, span tables,
+    unsort)."""
+    import jax
+    import jax.numpy as jnp
+    from gvr_tpu.scene.scene import load_gmm
+    from gvr_tpu.integrators.gridscatter import grid_for, _bcast3
+    from gvr_tpu.accel.grid import dda_crossings, sort_items
+    from gvr_tpu.kernels.gridtrace import TAU_BLK
+
+    sc = load_gmm(scene_path)
+    grid = grid_for(sc.medium)
+    o, d = make_rays(B)
+    base = baseline_overhead(o, d)
+    c = grid.c_max
+    rows = {"c_max": c}
+
+    def f_dda(o, d, i):
+        cells, t_in, t_out = dda_crossings(grid, o, d)
+        return o + 1e-9 * t_in[:, :1], d
+    rows["dda"] = timed(chain(f_dda), o, d) / REP - base
+
+    def mk(stage):
+        def f(o, d, i):
+            cells, t_in, t_out = dda_crossings(grid, o, d)
+            b = o.shape[0]
+            tm = jnp.full(b, 1e8, jnp.float32)
+            tm_b = jnp.broadcast_to(tm[:, None], (b, c)).reshape(-1)
+            payload = _bcast3(o, b, c) + _bcast3(d, b, c) + [tm_b]
+            if stage == "bcast":
+                return o + 1e-9 * payload[0].reshape(b, c)[:, :1], d
+            cell_s, pay_s, s_lo, n_sl, unsort = sort_items(
+                grid, cells.reshape(-1), payload, TAU_BLK)
+            if stage == "sort":
+                return o + 1e-9 * (pay_s[0][:b, None]
+                                   + s_lo[0].astype(jnp.float32)), d
+            items = jnp.stack(list(pay_s)
+                              + [cell_s.astype(jnp.float32)], axis=-1)
+            if stage == "stack":
+                return o + 1e-9 * items[:b, :1], d
+            back = unsort(items[:, 0])
+            return o + 1e-9 * back.reshape(b, c)[:, :1], d
+        return f
+
+    for stage in ("bcast", "sort", "stack", "unsort"):
+        rows[stage] = timed(chain(mk(stage)), o, d) / REP - base
+        print(f"sortpath {name} {stage}: "
+              f"{rows[stage] / B * 1e9:.1f} ns/ray", flush=True)
+    results[f"sortpath_{name}"] = {
+        "n": int(sc.medium.n), "B": B, "side": grid.side[0],
+        **{k: (round(v, 6) if isinstance(v, float) else v)
+           for k, v in rows.items()}}
+
+
 def profile_grid(scene_path, name, results):
     import jax
     import jax.numpy as jnp
@@ -184,6 +293,10 @@ def main():
         profile_dense(f"{base}/50_random.txt", "50", results)
         profile_dense(f"{base}/250_random.txt", "250", results)
         profile_dense(f"{base}/1000_random.txt", "1000", results)
+    if which in ("all", "dense_scale"):
+        profile_dense_scale(f"{base}/250_random.txt", "250", results)
+    if which in ("all", "sortpath"):
+        profile_sortpath(f"{base}/10k_random.txt", "10k", results)
     if which in ("all", "grid"):
         profile_grid(f"{base}/1000_random.txt", "1000", results)
         profile_grid(f"{base}/10k_random.txt", "10k", results)
