@@ -134,7 +134,7 @@ def _benign_pad_row() -> np.ndarray:
 
 def _bin_gaussians(i0, i1, sy: int, sz: int):
     """Vectorized gaussian -> cell expansion.  i0/i1 [N,3] inclusive cell
-    index ranges.  Returns (cell_ids [E], g_ids [E])."""
+    index ranges.  Returns (cell_ids [E], g_ids [E], ixyz [E,3])."""
     spans = i1 - i0 + 1                                   # [N,3]
     dup = spans.prod(axis=1)
     e = int(dup.sum())
@@ -150,7 +150,51 @@ def _bin_gaussians(i0, i1, sy: int, sz: int):
     ix = np.repeat(i0[:, 0], dup) + ox
     iy = np.repeat(i0[:, 1], dup) + oy
     iz = np.repeat(i0[:, 2], dup) + oz
-    return (ix * sy + iy) * sz + iz, g_ids
+    return (ix * sy + iy) * sz + iz, g_ids, \
+        np.stack([ix, iy, iz], axis=1)
+
+
+# R_CUT slack for the coordinate-descent insertion test: CD returns a
+# FEASIBLE point, i.e. an upper bound on the min Mahalanobis distance to
+# the cell box, so dropping needs headroom for unconverged marginal pairs.
+_TIGHT_SLACK = 1.02
+_TIGHT_SWEEPS = 8
+
+
+def _tight_mask(ic6, mean, g_ids, ixyz, lo, cell):
+    """Exact-support insertion test: keep a (gaussian, cell) pair only if
+    the R_CUT Mahalanobis ellipsoid actually intersects the cell box.
+
+    The AABB range test alone overcounts 1.9-2.9x on fat/anisotropic
+    scenes (corner cells + rotated supports).  The min of the convex
+    quadratic (x-mu)^T A (x-mu) over the box is found by cyclic
+    coordinate descent (each 1-D step is exact + clip); since any iterate
+    is feasible, the value is an upper bound on the true min, so the test
+    keeps every truly-touching pair.  A pair whose ellipsoid misses the
+    cell contributes exactly zero to any crossing in that cell (a point
+    of the ray inside both the cell and the support would witness the
+    intersection), so dropping it is lossless."""
+    from gvr_tpu.scene.gaussians import R_CUT
+    A00, A11, A22, A01, A02, A12 = (ic6[g_ids, k] for k in range(6))
+    mu = mean[g_ids]
+    blo = lo[None, :] + ixyz * cell[None, :]
+    bhi = blo + cell[None, :]
+    x = np.clip(mu, blo, bhi)
+    for _ in range(_TIGHT_SWEEPS):
+        x0 = mu[:, 0] - (A01 * (x[:, 1] - mu[:, 1])
+                         + A02 * (x[:, 2] - mu[:, 2])) / A00
+        x[:, 0] = np.clip(x0, blo[:, 0], bhi[:, 0])
+        x1 = mu[:, 1] - (A01 * (x[:, 0] - mu[:, 0])
+                         + A12 * (x[:, 2] - mu[:, 2])) / A11
+        x[:, 1] = np.clip(x1, blo[:, 1], bhi[:, 1])
+        x2 = mu[:, 2] - (A02 * (x[:, 0] - mu[:, 0])
+                         + A12 * (x[:, 1] - mu[:, 1])) / A22
+        x[:, 2] = np.clip(x2, blo[:, 2], bhi[:, 2])
+    dx = x - mu
+    m2 = (A00 * dx[:, 0] ** 2 + A11 * dx[:, 1] ** 2 + A22 * dx[:, 2] ** 2
+          + 2.0 * (A01 * dx[:, 0] * dx[:, 1] + A02 * dx[:, 0] * dx[:, 2]
+                   + A12 * dx[:, 1] * dx[:, 2]))
+    return m2 <= (R_CUT * _TIGHT_SLACK) ** 2
 
 
 # cost-model constants fitted to the round-3 v5e profile
@@ -161,7 +205,7 @@ C_SOLVE = 10.0      # ns per solve-view slice per scattered ray
 C_DDA = 1.5         # ns per crossing slot (odd-even network + planes)
 
 
-def choose_side(bmin, bmax, lo, hi) -> int:
+def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
     """Pick the grid resolution minimizing estimated ns per ray:
 
       dda + sort-tax * slots
@@ -179,11 +223,12 @@ def choose_side(bmin, bmax, lo, hi) -> int:
         cell = (hi - lo) / side
         i0 = np.clip(((bmin - lo) / cell).astype(np.int64), 0, side - 1)
         i1 = np.clip(((bmax - lo) / cell).astype(np.int64), 0, side - 1)
-        spans = i1 - i0 + 1
-        dup = spans.prod(axis=1)
-        e = float(dup.sum())
-        counts = np.bincount(_bin_gaussians(i0, i1, side, side)[0],
-                             minlength=side ** 3)
+        cell_ids, g_ids, ixyz = _bin_gaussians(i0, i1, side, side)
+        if ic6 is not None:
+            m = _tight_mask(ic6, mean, g_ids, ixyz, lo, cell)
+            cell_ids = cell_ids[m]
+        e = float(cell_ids.shape[0])
+        counts = np.bincount(cell_ids, minlength=side ** 3)
         occ = counts > 0
         gend = np.cumsum(counts)
         gfirst = gend - counts
@@ -213,9 +258,11 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
     bmin, bmax = (np.asarray(a, np.float64) for a in gmm.aabbs())
     lo = bmin.min(axis=0) - 1e-4
     hi = bmax.max(axis=0) + 1e-4
+    ic6 = np.asarray(gmm.icpack(), np.float64)
+    mean_np = np.asarray(gmm.mean, np.float64)
 
     if side is None:
-        side = choose_side(bmin, bmax, lo, hi)
+        side = choose_side(bmin, bmax, lo, hi, ic6, mean_np)
     sx = sy = sz = int(side)
 
     cell = (hi - lo) / np.array([sx, sy, sz], np.float64)
@@ -224,7 +271,9 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
     i1 = np.clip(((bmax - lo) / cell).astype(np.int64), 0,
                  np.array([sx, sy, sz]) - 1)
 
-    cell_ids, g_ids = _bin_gaussians(i0, i1, sy, sz)
+    cell_ids, g_ids, ixyz = _bin_gaussians(i0, i1, sy, sz)
+    tight = _tight_mask(ic6, mean_np, g_ids, ixyz, lo, cell)
+    cell_ids, g_ids = cell_ids[tight], g_ids[tight]
     counts = np.bincount(cell_ids, minlength=sx * sy * sz).astype(np.int64)
 
     gfirst = np.zeros_like(counts)

@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 REP = int(os.environ.get("PROF_REP", "30"))
 B = int(os.environ.get("PROF_B", str(1 << 15)))
 
