@@ -267,7 +267,7 @@ def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
         # extension: critical-crossing solve
         t_sc, scattered, albedo, _ = grid_solve_from_crossings(
             grid, o, d, tau2[:b], cells2[:b], tin2[:b], tout2[:b],
-            xi[:, 0], cfg.solver_iters, interpret)
+            xi[:, 0], cfg.grid_solver_iters, interpret)
 
         escaped = alive & ~scattered
         acc = acc + jnp.where(escaped[:, None], thr * scene.env_color, 0.0)

@@ -36,8 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gvr_tpu.kernels.pathtrace import (_erf, _erf_from_exp, _coeffs,
-                                       _interval, SQRT_HALF, BIG)
+from gvr_tpu.kernels.pathtrace import (_erf, _erf_from_exp, _erfinv,
+                                       _coeffs, _interval, SQRT_HALF, BIG)
 from gvr_tpu.accel.grid import H
 
 BLK = 128     # items per solve block (one lane tile)
@@ -354,6 +354,51 @@ def _make_solve_kernel(s_cap, solver_iters):
             fhi0 = jnp.maximum(tau_cell - tgt, 1e-12)
             *_, t_sc = jax.lax.fori_loop(0, solver_iters, newton_body,
                                          (t_lo, t_hi, flo0, fhi0, t_init))
+            t_sc = jnp.clip(t_sc, t_lo, t_hi)
+
+            # analytic erfinv finisher (same scheme as the dense kernel,
+            # kernels/pathtrace.py): exact where the scatter point lies
+            # inside exactly one entry's interval and no other interval
+            # opens/closes between the iterated and analytic roots
+            def fin_body(jj, c):
+                (na, tdone, nx, pv, sa1, zo1, pf1, el1, t01, t11) = c
+                sl = pl.ds(jj * H, H)
+                clo = s_lo[sl, :]
+                chi = s_hi[sl, :]
+                act = (t_sc > clo) & (t_sc < chi)
+                actf = act.astype(jnp.float32)
+                dn = (chi > clo) & (chi <= t_sc)
+                na = na + jnp.sum(actf, axis=0, keepdims=True)
+                tdone = tdone + jnp.sum(
+                    jnp.where(dn, s_taui[sl, :], 0.0), axis=0,
+                    keepdims=True)
+                nx = jnp.minimum(nx, jnp.min(
+                    jnp.where(clo > t_sc, clo, BIG), axis=0,
+                    keepdims=True))
+                pv = jnp.maximum(pv, jnp.max(
+                    jnp.where(dn, chi, 0.0), axis=0, keepdims=True))
+                pick = lambda x: jnp.sum(jnp.where(act, x, 0.0), axis=0,
+                                         keepdims=True)
+                return (na, tdone, nx, pv, sa1 + pick(s_sa[sl, :]),
+                        zo1 + pick(s_zoff[sl, :]),
+                        pf1 + pick(s_pref[sl, :]),
+                        el1 + pick(s_erflo[sl, :]),
+                        t01 + pick(clo), t11 + pick(chi))
+
+            big_row = jnp.full_like(zrow, BIG)
+            (na, tdone, nx, pv, sa1, zo1, pf1, el1, t01,
+             t11) = jax.lax.fori_loop(
+                0, nsl, fin_body,
+                (zrow, zrow, big_row, zrow, zrow, zrow, zrow, zrow,
+                 zrow, zrow))
+            arg = (tgt - tdone) / jnp.maximum(pf1, 1e-30) + el1
+            one_eps = 1.0 - 1e-6
+            t_a = (_erfinv(jnp.clip(arg, -one_eps, one_eps)) / SQRT_HALF
+                   - zo1) / jnp.maximum(sa1, 1e-30)
+            fin = ((na == 1.0) & (arg > -one_eps) & (arg < one_eps)
+                   & (t_a >= jnp.maximum(t01, pv))
+                   & (t_a <= jnp.minimum(t11, nx)))
+            t_sc = jnp.where(fin, t_a, t_sc)
             t_sc = jnp.clip(t_sc, t_lo, t_hi)
 
             def alb_body(jj, c):

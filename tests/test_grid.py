@@ -160,7 +160,8 @@ def test_grid_wavefront_matches_xla_engine(scene, grid):
 
     cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
     cfg = RenderConfig(width=24, height=24, spp=4, pallas="off",
-                       solver=Solver.NEWTON, solver_iters=16)
+                       solver=Solver.NEWTON, solver_iters=16,
+                       grid_solver_iters=16)
     ids = jnp.arange(24 * 24, dtype=jnp.int32)
     ref = np.asarray(wavefront_pixels(scene, cam, cfg, ids))
     got = np.asarray(wavefront_pixels_grid(
