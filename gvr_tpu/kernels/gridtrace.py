@@ -158,11 +158,16 @@ def _make_span_tau_kernel(side, grid_lo, grid_cell, n_buf):
 
             @pl.when(k < nchunks)
             def _():
-                _process(slot)
+                _process(slot, k * FETCH)
             return 0
 
-        def _process(slot):
+        def _process(slot, base):
+                # predicate per slice: the last chunk of a span is usually
+                # partial (mean span ~2.6 slices at FETCH=4), and benign
+                # pad rows still cost full sweep compute
                 for s in range(FETCH):
+                  @pl.when(base + s < n)
+                  def _(s=s):
                     col = lambda f: buf[slot, s, f:f + 1, :]   # [1, H2]
                     gcell = col(9)                             # own cell id
                     gci = gcell.astype(jnp.int32)
