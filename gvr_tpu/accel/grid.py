@@ -197,12 +197,14 @@ def _tight_mask(ic6, mean, g_ids, ixyz, lo, cell):
     return m2 <= (R_CUT * _TIGHT_SLACK) ** 2
 
 
-# cost-model constants fitted to the round-3 v5e profile
-# (benchmarks/breakdown_r3.json; tune with scripts/tune_grid.py)
-C_SORT_SLOT = 3.6   # ns per work-list slot (payload + sort + unsort)
-C_LANE = 0.11       # ns per swept (item, entry-lane) in the span kernel
-C_SOLVE = 10.0      # ns per solve-view slice per scattered ray
-C_DDA = 1.5         # ns per crossing slot (odd-even network + planes)
+# cost-model constants refit to the round-3 v5e tune with tight
+# insertion + predicated span kernel + 6-iteration solve
+# (/tmp/tune_r3c sweep; sub-stages from profile_stages sortpath:
+# main sort ~2.4 ns/slot, unsort ~1.7, bcast ~0.3, dda ~0.9)
+C_SORT_SLOT = 4.3   # ns per work-list slot (payload + sort + unsort)
+C_LANE = 0.105      # ns per swept (item, entry-lane) in the span kernel
+C_SOLVE = 6.5       # ns per solve-view slice per scattered ray (6 iters)
+C_DDA = 0.9         # ns per crossing slot (odd-even network + planes)
 
 
 def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
@@ -217,8 +219,22 @@ def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
     supports are fat (every gaussian spans many cells), so occupancy per
     cell floors near N x support-volume-fraction and coarse-to-middling
     sides win."""
+    n = bmin.shape[0]
+    # the cost model is statistical — estimate it on a gaussian subsample
+    # for big scenes (the 23-side tight-mask sweep measured ~160 s at full
+    # 5000_random; the FINAL build still inserts every gaussian exactly)
+    sub_cap = 4000
+    scale = 1.0
+    if n > sub_cap:
+        sel = np.random.default_rng(0).choice(n, sub_cap, replace=False)
+        bmin, bmax = bmin[sel], bmax[sel]
+        if ic6 is not None:
+            ic6, mean = ic6[sel], mean[sel]
+        scale = n / sub_cap
     best, best_cost = None, float("inf")
+    costs = {}
     fallback, fallback_cap = 2, 10 ** 9
+    rising = 0
     for side in range(2, 25):
         cell = (hi - lo) / side
         i0 = np.clip(((bmin - lo) / cell).astype(np.int64), 0, side - 1)
@@ -227,8 +243,8 @@ def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
         if ic6 is not None:
             m = _tight_mask(ic6, mean, g_ids, ixyz, lo, cell)
             cell_ids = cell_ids[m]
-        e = float(cell_ids.shape[0])
-        counts = np.bincount(cell_ids, minlength=side ** 3)
+        e = float(cell_ids.shape[0]) * scale
+        counts = np.bincount(cell_ids, minlength=side ** 3) * scale
         occ = counts > 0
         gend = np.cumsum(counts)
         gfirst = gend - counts
@@ -242,14 +258,32 @@ def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
         occ_frac = occ.mean()
         occ_crossings = 1.5 * side * occ_frac
         mean_entries = e / max(occ.sum(), 1)
-        span2 = np.ceil(mean_entries / 128.0) + 0.5     # span-view slices
         slots = 3 * side + 3
-        tau_ns = occ_crossings * span2 * 128.0 * C_LANE
+        # sweep per crossing: the block's span covers the cell's entries
+        # plus ~half an H2 slice of edge quantization on each side
+        tau_ns = occ_crossings * (mean_entries + 128.0) * C_LANE
         solve_ns = (span_sl.sum() / max(occ.sum(), 1)) * C_SOLVE
         cost = C_DDA * slots + C_SORT_SLOT * slots + tau_ns + solve_ns
+        costs[side] = cost
         if cost < best_cost:
             best, best_cost = side, cost
-    return best if best is not None else fallback
+            rising = 0
+        else:
+            # the cost curve is near-unimodal in side; once it has sat
+            # >2x above the best for 3 consecutive sides, stop sweeping
+            rising += 1 if cost > 2.0 * best_cost else 0
+            if rising >= 3:
+                break
+    if best is None:
+        return fallback
+    # the cost curve is shallow near its minimum and the model's sweep
+    # term underestimates fine-side block-boundary quantization (measured
+    # per-crossing lanes stay ~300 regardless of cell occupancy), so take
+    # the COARSEST side within 12% of the modeled optimum
+    for side in sorted(costs):
+        if costs[side] <= best_cost * 1.12:
+            return side
+    return best
 
 
 def build_grid(gmm, side: int | None = None) -> GridIndex:

@@ -75,6 +75,23 @@ class PinholeCamera:
         direction = _normalize(pinhole - origin)
         return origin, direction
 
+    def sample_ray_planes(self, u01, v01):
+        """Component-plane form for the 2-D wavefront: u01/v01 [...] in
+        [0,1] -> (origin [3, ...], direction [3, ...]).  Same flips as
+        ``sample_ray``; keeps the xyz components on the leading axis so
+        every per-ray array stays a [R, 128]-shaped lane plane (1-D and
+        minor-dim-3 layouts are pathologically slow on this backend)."""
+        u = 1.0 - u01 * 2.0                 # x-flip (camera.h:47)
+        v = v01 * 2.0 - 1.0
+        focal = 1.0 / jnp.tan(0.5 * self.fov)
+        pinhole = self.position + focal * self.view_dir
+        ex = lambda w: w[:, None, None] if u.ndim == 2 else w[:, None]
+        origin = (ex(self.position) + u[None] * ex(self.right)
+                  + v[None] * ex(self.up))
+        dvec = ex(pinhole) - origin
+        inv = 1.0 / jnp.sqrt(jnp.sum(dvec * dvec, axis=0, keepdims=True))
+        return origin, dvec * inv
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -113,6 +130,17 @@ class OrthographicCamera:
                   + v[..., None] * self.up)
         direction = jax.lax.optimization_barrier(
             jnp.broadcast_to(self.view_dir, origin.shape))
+        return origin, direction
+
+    def sample_ray_planes(self, u01, v01):
+        """Component-plane form (see PinholeCamera.sample_ray_planes)."""
+        u = u01 * 2.0 - 1.0
+        v = 1.0 - v01 * 2.0                 # y-flip (camera.h:67)
+        ex = lambda w: w[:, None, None] if u.ndim == 2 else w[:, None]
+        origin = (ex(self.position) + u[None] * ex(self.right)
+                  + v[None] * ex(self.up))
+        direction = jax.lax.optimization_barrier(
+            jnp.broadcast_to(ex(self.view_dir), origin.shape))
         return origin, direction
 
 

@@ -288,6 +288,120 @@ def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
     return o, d, ids
 
 
+def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
+                      static_lights):
+    """2-D lane-plane wavefront for the fused VMEM kernel (N <= 256).
+
+    Estimator- and RNG-stream-identical to ``wavefront_pixels``; only the
+    data layout differs: per-ray scalars are [R, 128] lane planes and
+    vectors are [3, R, 128] component planes.  On the axon backend any
+    1-D [B] array materialized inside the loop costs ~450 us/iteration
+    (measured round 3: ~100x the 2-D [R, 128] cost), and the two
+    path_uniforms calls cost another ~0.5 ms in XLA because 32-bit
+    integer vector ops lower pathologically — here uniforms come from
+    the Mosaic RNG kernel (kernels/rng.py) at ~1 us.  Together this
+    removes ~25% of the per-iteration wall clock of the 250-Gaussian
+    headline render."""
+    from gvr_tpu.kernels.pathtrace import (pack_table, _bounce_call,
+                                           auto_block)
+    from gvr_tpu.kernels.rng import planes_uniforms
+
+    gmm = scene.medium
+    w, h = cfg.width, cfg.height
+    n_strat = strat_n(cfg.spp)
+    interp = cfg.pallas == "interpret"
+    table = pack_table(gmm)
+    block = auto_block(table.shape[0])
+
+    b0 = ids.shape[0]
+    pad = (-b0) % block
+    if pad:
+        ids = jnp.concatenate([ids, jnp.broadcast_to(ids[-1:], (pad,))])
+    b = b0 + pad
+    r = b // 128
+    ids2 = ids.reshape(r, 128)
+    x = ids2 % w
+    y = ids2 // w
+
+    lights_t, inten_t, env_t = static_lights
+    w_ne = float(len(lights_t) + 1) if lights_t else 1.0
+    env3 = jnp.asarray(env_t, jnp.float32)[:, None, None]
+
+    def make_ray(sample_idx):
+        xi = planes_uniforms(ids2, sample_idx, 0x7FFF0000, 2, cfg.seed,
+                             interp)
+        sx = (sample_idx % n_strat).astype(jnp.float32)
+        sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
+        u = (x.astype(jnp.float32) + (sx + xi[0]) / n_strat) / w
+        v = (y.astype(jnp.float32) + (sy + xi[1]) / n_strat) / h
+        return camera.sample_ray_planes(u, v)
+
+    def cond(state):
+        o, d, thr, acc, alive, sample, bounce, it = state
+        return jnp.any(alive | (sample < cfg.spp)) & (
+            it < cfg.spp * cfg.max_bounces + cfg.max_bounces)
+
+    def body(state):
+        o, d, thr, acc, alive, sample, bounce, it = state
+
+        regen = ~alive & (sample < cfg.spp)
+        o_n, d_n = make_ray(jnp.where(regen, sample, 0))
+        o = jnp.where(regen[None], o_n, o)
+        d = jnp.where(regen[None], d_n, d)
+        thr = jnp.where(regen[None], 1.0, thr)
+        bounce = jnp.where(regen, 0, bounce)
+        sample = jnp.where(regen, sample + 1, sample)
+        alive = alive | regen
+
+        xi = planes_uniforms(ids2, jnp.maximum(sample, 1) - 1, bounce, 9,
+                             cfg.seed, interp)
+        rays = jnp.concatenate([
+            o.reshape(3, b), d.reshape(3, b), xi[:5].reshape(5, b),
+            jnp.zeros((5, b), jnp.float32)], axis=0)
+        out = _bounce_call(table, rays, lights_t, inten_t, env_t,
+                           cfg.solver_iters, block, interp)
+        out = out.reshape(8, r, 128)
+        t_sc = out[0]
+        scattered = out[1] > 0.5
+        albedo = out[2]
+        li = out[3:6]
+
+        escaped = alive & ~scattered
+        acc = acc + jnp.where(escaped[None], thr * env3, 0.0)
+        alive_n = alive & scattered
+
+        pos = o + t_sc[None] * d
+        contrib = thr * (albedo * (INV_4PI * w_ne))[None] * li
+        acc = acc + jnp.where(alive_n[None], contrib, 0.0)
+
+        thr_n = thr * albedo[None]
+        do_rr = bounce >= cfg.min_scatter
+        cap = jnp.where(bounce >= cfg.rr_tail_after, cfg.rr_cap_tail,
+                        cfg.rr_cap)
+        rr = jnp.minimum(jnp.max(thr_n, axis=0), cap)
+        killed = do_rr & (xi[5] > rr)
+        thr_n = jnp.where((do_rr & ~killed)[None],
+                          thr_n / jnp.maximum(rr, 1e-12)[None], thr_n)
+        alive_n = alive_n & ~killed & (bounce + 1 < cfg.max_bounces)
+
+        theta = (2.0 * jnp.pi) * xi[6]
+        cphi = 1.0 - 2.0 * xi[7]
+        sphi = jnp.sqrt(jnp.maximum(1.0 - cphi * cphi, 0.0))
+        new_d = jnp.stack([sphi * jnp.cos(theta), sphi * jnp.sin(theta),
+                           cphi], axis=0)
+        o = jnp.where(alive_n[None], pos, o)
+        d = jnp.where(alive_n[None], new_d, d)
+        thr = jnp.where(alive_n[None], thr_n, thr)
+        return (o, d, thr, acc, alive_n, sample, bounce + 1, it + 1)
+
+    zeros = jnp.zeros((3, r, 128))
+    state = (zeros, jnp.ones((3, r, 128)), jnp.ones((3, r, 128)), zeros,
+             jnp.zeros((r, 128), bool), jnp.zeros((r, 128), jnp.int32),
+             jnp.zeros((r, 128), jnp.int32), jnp.int32(0))
+    *_, acc, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return acc.reshape(3, b).T[:b0] / cfg.spp
+
+
 def _pallas_enabled(cfg: RenderConfig) -> bool:
     # the fused kernel implements the (analytic-)Newton solver only; the
     # bisection/uniform ablation solvers run on the XLA path
@@ -337,7 +451,6 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
             from gvr_tpu.kernels.pathtrace_big import (
                 pack_table_t, bounce_step_pallas_big)
     if use_pallas:
-        table = pack_table_t(gmm) if use_big else pack_table(gmm)
         if static_lights is None:
             # only valid outside jit; jitted callers must pass static_lights
             static_lights = (
@@ -346,6 +459,10 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
                 tuple(tuple(float(v) for v in r)
                       for r in np.asarray(scene.lights_i)),
                 tuple(float(v) for v in np.asarray(scene.env_color)))
+        if not use_big:
+            # 2-D lane-plane fast path (layout + Mosaic RNG; see docstring)
+            return _wavefront_planes(scene, camera, cfg, ids, static_lights)
+        table = pack_table_t(gmm)
         lights_t, inten_t, env_t = static_lights
         w_ne_pallas = float(len(lights_t) + 1) if lights_t else 1.0
 

@@ -53,7 +53,9 @@ def path_uniforms(pixel_id, sample, bounce, n: int, seed: int = 0):
     cols = [_mix32((b1 ^ jnp.uint32(0x165667B1 * (i + 1))) + b2)
             for i in range(n)]
     u = jnp.stack(cols, axis=-1)
-    return u.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    # 23 high bits only: bit-exact with the Pallas RNG kernel
+    # (kernels/rng.py), where u32->f32 casts are unsupported
+    return (u >> 9).astype(jnp.float32) * jnp.float32(2.0 ** -23)
 
 
 def path_key(base_key, x, y, sample):

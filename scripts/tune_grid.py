@@ -48,7 +48,8 @@ def main():
         def f_solve(o, d, i):
             tau, cells, t_in, t_out = grid_tau_crossings(grid, o, d)
             t_sc, scat, alb, tt = grid_solve_from_crossings(
-                grid, o, d, tau, cells, t_in, t_out, u)
+                grid, o, d, tau, cells, t_in, t_out, u,
+                solver_iters=6)       # production grid_solver_iters
             return o + 1e-9 * (t_sc[:, None] + alb[:, None]), d
 
         tau_t = timed(chain(f_tau), o, d) / REP - base
