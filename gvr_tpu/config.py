@@ -65,6 +65,15 @@ class RenderConfig:
     solver: Solver = Solver.ANALYTIC_NEWTON
     solver_iters: int = 10         # fixed solver trip count (Newton+Illinois
                                    # reaches p99 tau-residual ~1e-4 at 10)
+    # in-kernel analytic erfinv finisher (exact root when one gaussian is
+    # active at the iterate; distance_solvers.h:176-186).  Off by default:
+    # at solver_iters=10 the Newton+Illinois root is already converged
+    # (1024^2 spp16 250_random means agree to 5 decimals with finisher
+    # on/off; measured r3) and the finisher's 11 masked reductions cost
+    # ~5% of the bounce.  The grid engine's in-cell solve keeps its own
+    # always-on finisher (single-cell brackets make it both cheap and
+    # frequently applicable there).
+    solver_finisher: bool = False
     # grid-engine in-cell solve trip count: the bracket is one cell
     # crossing and the analytic erfinv finisher handles the (common)
     # single-active case exactly, so 6 iterations measure max |dt| ~9e-6
@@ -82,6 +91,10 @@ class RenderConfig:
     # TPU backends, 'on'/'off' force; 'interpret' runs it in interpreter
     # mode (CPU testing).
     pallas: str = "auto"
+    # small-N Pallas wavefront flavor: 'mega' runs the whole sample/bounce
+    # loop in one persistent kernel (kernels/megatrace.py); 'step'
+    # dispatches one fused kernel per wavefront iteration.
+    wavefront: str = "mega"
     # engine: 'auto' picks dense VMEM kernel for small N and the uniform-grid
     # regular-tracking wavefront (accel/grid.py) for big N; 'dense'/'grid'
     # force.  The grid engine is the BVH replacement (gmm.h:231-578).

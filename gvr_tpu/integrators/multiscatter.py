@@ -290,6 +290,43 @@ def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
 
 def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
                       static_lights):
+    """Persistent-wavefront megakernel path for the fused VMEM kernel
+    (N <= 256): the ENTIRE sample/bounce loop — regeneration, camera
+    rays, RNG, bounce, NEE, RR, accumulation — runs inside one Pallas
+    program per ray block (kernels/megatrace.py).  The per-bounce
+    dispatch structure measured ~0.9 ms of launch + XLA-glue tax per
+    wavefront iteration on this backend; here per-ray state stays in
+    VMEM across all bounces and each block's loop exits as soon as its
+    own (tile-coherent) lanes exhaust their samples.
+
+    Estimator- and RNG-stream-identical to the XLA wavefront below
+    (same counter-hash streams keyed by (pixel, sample, bounce))."""
+    from gvr_tpu.kernels.pathtrace import pack_table, auto_block
+    from gvr_tpu.kernels.megatrace import mega_call, camera_vector
+    from gvr_tpu.cameras import PinholeCamera
+
+    gmm = scene.medium
+    table = pack_table(gmm)
+    block = auto_block(table.shape[0])
+
+    b0 = ids.shape[0]
+    pad = (-b0) % block
+    if pad:
+        ids = jnp.concatenate([ids, jnp.broadcast_to(ids[-1:], (pad,))])
+    lights_t, inten_t, env_t = static_lights
+    cfg_t = (cfg.width, cfg.height, cfg.spp, strat_n(cfg.spp), cfg.seed,
+             cfg.solver_iters, cfg.min_scatter, cfg.rr_cap,
+             cfg.rr_tail_after, cfg.rr_cap_tail, cfg.max_bounces,
+             cfg.solver_finisher)
+    out = mega_call(camera_vector(camera), table, ids[None], cfg_t,
+                    lights_t, inten_t, env_t, block,
+                    cfg.pallas == "interpret",
+                    isinstance(camera, PinholeCamera))
+    return out[0:3].T[:b0] / cfg.spp
+
+
+def _wavefront_planes_step(scene: Scene, camera, cfg: RenderConfig, ids,
+                      static_lights):
     """2-D lane-plane wavefront for the fused VMEM kernel (N <= 256).
 
     Estimator- and RNG-stream-identical to ``wavefront_pixels``; only the
@@ -301,7 +338,8 @@ def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
     integer vector ops lower pathologically — here uniforms come from
     the Mosaic RNG kernel (kernels/rng.py) at ~1 us.  Together this
     removes ~25% of the per-iteration wall clock of the 250-Gaussian
-    headline render."""
+    headline render.  Kept as the cfg.wavefront="step" fallback to the
+    persistent megakernel (_wavefront_planes)."""
     from gvr_tpu.kernels.pathtrace import (pack_table, _bounce_call,
                                            auto_block)
     from gvr_tpu.kernels.rng import planes_uniforms
@@ -359,7 +397,8 @@ def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
             o.reshape(3, b), d.reshape(3, b), xi[:5].reshape(5, b),
             jnp.zeros((5, b), jnp.float32)], axis=0)
         out = _bounce_call(table, rays, lights_t, inten_t, env_t,
-                           cfg.solver_iters, block, interp)
+                           cfg.solver_iters, block, interp,
+                           cfg.solver_finisher)
         out = out.reshape(8, r, 128)
         t_sc = out[0]
         scattered = out[1] > 0.5
@@ -461,7 +500,11 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
                 tuple(float(v) for v in np.asarray(scene.env_color)))
         if not use_big:
             # 2-D lane-plane fast path (layout + Mosaic RNG; see docstring)
-            return _wavefront_planes(scene, camera, cfg, ids, static_lights)
+            if cfg.wavefront == "mega":
+                return _wavefront_planes(scene, camera, cfg, ids,
+                                         static_lights)
+            return _wavefront_planes_step(scene, camera, cfg, ids,
+                                          static_lights)
         table = pack_table_t(gmm)
         lights_t, inten_t, env_t = static_lights
         w_ne_pallas = float(len(lights_t) + 1) if lights_t else 1.0

@@ -185,17 +185,15 @@ def _tau_nee(col, px, py, pz, wx, wy, wz, tmax):
     return jnp.sum(jnp.where(ok, seg, 0.0), axis=0, keepdims=True)
 
 
-def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights):
-    """Build the bounce kernel with scene lights baked in as constants."""
-
-    def kernel(tab_ref, rays_ref, out_ref):
-        col = lambda f: tab_ref[:, f:f + 1]            # [N, 1]
-        row = lambda f: rays_ref[f:f + 1, :]           # [1, blk]
-        ox, oy, oz = row(0), row(1), row(2)
-        dx, dy, dz = row(3), row(4), row(5)
-        u_tau, u_nee, u_light = row(6), row(7), row(8)
-        u_env1, u_env2 = row(9), row(10)
-
+def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
+                 u_env1, u_env2, lights_p, lights_i, env_color,
+                 solver_iters, n_lights, finisher: bool = True):
+    """The bounce math on [1, blk] ray rows against [N, 1] feature
+    columns: free-flight solve + albedo + NEE.  Shared by the per-bounce
+    kernel below and the persistent wavefront megakernel
+    (kernels/megatrace.py).  Returns (t_sc, scattered, albedo,
+    lix, liy, liz, tau_tot, fin) — all [1, blk]."""
+    if True:
         a, b = _coeffs(col, ox, oy, oz, dx, dy, dz)
         dens_norm = col(10)
         a_s = jnp.maximum(a, 1e-30)
@@ -265,32 +263,36 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights):
         # interval, the residual target inverts in closed form; one sweep
         # classifies the active set at t_sc and guards that no other
         # interval opens/closes between t_sc and the analytic root, so the
-        # replacement is exact.  Fixes the Illinois tail (p99 ~5e-4 at 10
-        # iters) at ~1.5 iterations' cost.
-        act = (t_sc > t0m) & (t_sc < t1m) & ok                # [N, blk]
-        n_act = jnp.sum(act.astype(jnp.float32), axis=0, keepdims=True)
-        done = ok & (t1m <= t_sc)
-        tau_done = jnp.sum(jnp.where(done, tau_i, 0.0), axis=0,
-                           keepdims=True)
-        nxt = jnp.min(jnp.where(ok & (t0m > t_sc), t0m, BIG), axis=0,
-                      keepdims=True)
-        prv = jnp.max(jnp.where(done, t1m, 0.0), axis=0, keepdims=True)
-        pick = lambda x: jnp.sum(jnp.where(act, x, 0.0), axis=0,
-                                 keepdims=True)
-        sa1 = pick(sa)
-        zoff1 = pick(zoff)
-        pref1 = pick(pref)
-        erflo1 = pick(erf_lo)
-        t0_1 = pick(t0m)
-        t1_1 = pick(t1m)
-        arg = (tgt - tau_done) / jnp.maximum(pref1, 1e-30) + erflo1
-        one_eps = 1.0 - 1e-6
-        t_a = (_erfinv(jnp.clip(arg, -one_eps, one_eps)) / SQRT_HALF
-               - zoff1) / jnp.maximum(sa1, 1e-30)
-        fin = ((n_act == 1.0) & (arg > -one_eps) & (arg < one_eps)
-               & (t_a >= jnp.maximum(t0_1, prv))
-               & (t_a <= jnp.minimum(t1_1, nxt)))
-        t_sc = jnp.where(fin, t_a, t_sc)
+        # replacement is exact.  Measured cost on v5e: ~27 ns/ray at
+        # N=250 (the 11 masked sublane reductions) — ~5.6 Newton
+        # iterations — so it is gated by ``finisher``.
+        if finisher:
+            act = (t_sc > t0m) & (t_sc < t1m) & ok            # [N, blk]
+            n_act = jnp.sum(act.astype(jnp.float32), axis=0, keepdims=True)
+            done = ok & (t1m <= t_sc)
+            tau_done = jnp.sum(jnp.where(done, tau_i, 0.0), axis=0,
+                               keepdims=True)
+            nxt = jnp.min(jnp.where(ok & (t0m > t_sc), t0m, BIG), axis=0,
+                          keepdims=True)
+            prv = jnp.max(jnp.where(done, t1m, 0.0), axis=0, keepdims=True)
+            pick = lambda x: jnp.sum(jnp.where(act, x, 0.0), axis=0,
+                                     keepdims=True)
+            sa1 = pick(sa)
+            zoff1 = pick(zoff)
+            pref1 = pick(pref)
+            erflo1 = pick(erf_lo)
+            t0_1 = pick(t0m)
+            t1_1 = pick(t1m)
+            arg = (tgt - tau_done) / jnp.maximum(pref1, 1e-30) + erflo1
+            one_eps = 1.0 - 1e-6
+            t_a = (_erfinv(jnp.clip(arg, -one_eps, one_eps)) / SQRT_HALF
+                   - zoff1) / jnp.maximum(sa1, 1e-30)
+            fin = ((n_act == 1.0) & (arg > -one_eps) & (arg < one_eps)
+                   & (t_a >= jnp.maximum(t0_1, prv))
+                   & (t_a <= jnp.minimum(t1_1, nxt)))
+            t_sc = jnp.where(fin, t_a, t_sc)
+        else:
+            fin = tau_tot < 0.0                               # all-false
 
         # --- mixture albedo at the scatter point (gmm.h:128-143) ---
         alb_col = col(11)
@@ -353,7 +355,22 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights):
         lix = jnp.where(is_env, tr * (env[0] * FOUR_PI), tr * radx * inv_d2)
         liy = jnp.where(is_env, tr * (env[1] * FOUR_PI), tr * rady * inv_d2)
         liz = jnp.where(is_env, tr * (env[2] * FOUR_PI), tr * radz * inv_d2)
+        return t_sc, scattered, albedo, lix, liy, liz, tau_tot, fin
 
+
+def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
+                 finisher: bool = True):
+    """Build the bounce kernel with scene lights baked in as constants."""
+
+    def kernel(tab_ref, rays_ref, out_ref):
+        col = lambda f: tab_ref[:, f:f + 1]            # [N, 1]
+        row = lambda f: rays_ref[f:f + 1, :]           # [1, blk]
+        (t_sc, scattered, albedo, lix, liy, liz, tau_tot,
+         fin) = _bounce_core(
+            col, row(0), row(1), row(2), row(3), row(4), row(5),
+            row(6), row(7), row(8), row(9), row(10),
+            lights_p, lights_i, env_color, solver_iters, n_lights,
+            finisher)
         out_ref[0:1, :] = t_sc
         out_ref[1:2, :] = scattered.astype(jnp.float32)
         out_ref[2:3, :] = albedo
@@ -368,11 +385,13 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights):
 
 @functools.partial(jax.jit, static_argnames=(
     "solver_iters", "lights_p", "lights_i", "env_color", "block",
+    "finisher",
     "interpret"))
 def _bounce_call(table, rays, lights_p, lights_i, env_color,
-                 solver_iters: int, block: int, interpret: bool):
+                 solver_iters: int, block: int, interpret: bool,
+                 finisher: bool = True):
     kernel = _make_kernel(lights_p, lights_i, env_color, solver_iters,
-                          len(lights_p))
+                          len(lights_p), finisher)
     b = rays.shape[1]
     grid = (b // block,)
     return pl.pallas_call(
@@ -421,7 +440,7 @@ def pallas_supported_n(n: int) -> bool:
 
 def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,
                        solver_iters: int = 14, block: int = 0,
-                       interpret: bool = False):
+                       interpret: bool = False, finisher: bool = True):
     """One fused bounce for a ray batch.
 
     table: [Np, 128] from pack_table; o, d: [B,3]; xi: [B, >=5] uniforms
@@ -448,7 +467,7 @@ def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,
         env = tuple(float(v) for v in np.asarray(env_color))
 
     out = _bounce_call(table, rays, lp, li_, env, solver_iters, block,
-                       interpret)
+                       interpret, finisher)
     out = out[:, :bsz]
     return (out[0], out[1] > 0.5, out[2],
             jnp.stack([out[3], out[4], out[5]], axis=-1), out[6])
