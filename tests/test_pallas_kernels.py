@@ -121,3 +121,32 @@ def test_tile_order_is_permutation():
     xs, ys = first % 64, first // 64
     assert xs.max() - xs.min() == 15
     assert ys.max() - ys.min() == 7
+
+
+def test_megakernel_matches_step_wavefront(rng):
+    """The persistent-wavefront megakernel (whole sample/bounce loop in one
+    Pallas program, kernels/megatrace.py) must reproduce the per-bounce
+    step wavefront AND the pure-XLA wavefront: same estimator, same RNG
+    streams, so images agree to float tolerance."""
+    import dataclasses
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.integrators.multiscatter import wavefront_pixels
+
+    sc = parse_gmm(random_gaussian_scene(24, seed=7,
+                                         diameter=(0.2, 0.6),
+                                         density=(0.5, 2.0)))
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=6,
+                      pallas="interpret", wavefront="mega")
+    ids = jnp.arange(256, dtype=jnp.int32)
+
+    img_mega = np.asarray(wavefront_pixels(sc, cam, cfg, ids))
+    cfg_step = dataclasses.replace(cfg, wavefront="step")
+    img_step = np.asarray(wavefront_pixels(sc, cam, cfg_step, ids))
+    cfg_xla = dataclasses.replace(cfg, pallas="off")
+    img_xla = np.asarray(wavefront_pixels(sc, cam, cfg_xla, ids))
+
+    assert np.isfinite(img_mega).all()
+    np.testing.assert_allclose(img_mega, img_step, atol=1e-5)
+    np.testing.assert_allclose(img_mega, img_xla, atol=1e-4)
