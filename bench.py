@@ -24,6 +24,9 @@ SCENE = os.environ.get(
     "BENCH_SCENE", "/root/reference/scenes/gaussians/250_random.txt")
 SIZE = int(os.environ.get("BENCH_SIZE", "1024"))
 SPP = int(os.environ.get("BENCH_SPP", "64"))
+# 'mega' (persistent megakernel, default) or 'step' (per-bounce wavefront) —
+# lets the TPU queue fall back if the megakernel misbehaves on real hardware
+WAVEFRONT = os.environ.get("BENCH_WAVEFRONT", "")
 TARGET_MRAYS = 100.0
 
 
@@ -41,7 +44,8 @@ def main():
 
     scene = load_gmm(SCENE)
     camera = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
-    cfg = RenderConfig(width=SIZE, height=SIZE, spp=SPP)
+    cfg = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
+                       **({"wavefront": WAVEFRONT} if WAVEFRONT else {}))
 
     rays_per_path = path_statistics(scene, camera, cfg)["rays_per_path"]
 

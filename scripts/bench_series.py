@@ -46,7 +46,9 @@ def main():
         if not os.path.exists(path):
             continue
         scene = load_gmm(path)
-        cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp)
+        wf = os.environ.get("BENCH_WAVEFRONT", "")
+        cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
+                           **({"wavefront": wf} if wf else {}))
         rpp = path_statistics(scene, camera, cfg)["rays_per_path"]
         render_multiscatter(scene, camera, cfg)  # warm: identical config
         t0 = time.time()
