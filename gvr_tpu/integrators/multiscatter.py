@@ -549,7 +549,9 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
             t_sc, scattered, albedo, li, _ = step_fn(
                 table, o, d, xi, lights_t, inten_t, env_t,
                 solver_iters=cfg.solver_iters,
-                interpret=(cfg.pallas == "interpret"))
+                interpret=(cfg.pallas == "interpret"),
+                # the big kernel is pure Newton and has no finisher knob
+                **({} if use_big else {"finisher": cfg.solver_finisher}))
             w_ne = w_ne_pallas
             pos = o + t_sc[:, None] * d
         else:

@@ -35,40 +35,34 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from gvr_tpu.kernels.pathtrace import (_bounce_core, auto_block,
-                                       _VMEM_LIMIT)
+from gvr_tpu.kernels.pathtrace import _bounce_core, _VMEM_LIMIT
 from gvr_tpu.kernels.rng import _uniform_cols, _to_unit, _mix32_py
 
-try:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    _PALLAS_OK = True
-except Exception:  # pragma: no cover
-    _PALLAS_OK = False
+# availability is gated upstream by pathtrace.pallas_available()
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 INV_4PI = 1.0 / (4.0 * math.pi)
 
 
 def camera_vector(camera) -> jnp.ndarray:
     """[1, 16] f32 camera parameter row for the SMEM input: position,
-    right, up, view_dir, focal (0 for orthographic), kind flag."""
+    right, up, view_dir, focal (0 for orthographic), 3 zeros padding.
+    The camera KIND is the static `pinhole` argument of mega_call (the
+    ray-gen branch is compile-time), so it is not carried here."""
     from gvr_tpu.cameras import PinholeCamera
     if isinstance(camera, PinholeCamera):
         focal = 1.0 / jnp.tan(0.5 * camera.fov)
-        kind = 1.0
     else:
         focal = jnp.float32(0.0)
-        kind = 0.0
     row = jnp.concatenate([
         jnp.asarray(camera.position, jnp.float32).reshape(3),
         jnp.asarray(camera.right, jnp.float32).reshape(3),
         jnp.asarray(camera.up, jnp.float32).reshape(3),
         jnp.asarray(camera.view_dir, jnp.float32).reshape(3),
         jnp.asarray(focal, jnp.float32).reshape(1),
-        jnp.asarray(kind, jnp.float32).reshape(1),
-        jnp.zeros(2, jnp.float32)])
+        jnp.zeros(3, jnp.float32)])
     return row.reshape(1, 16)
 
 
@@ -82,7 +76,6 @@ def _make_mega_kernel(cfg_t, lights_p, lights_i, env_color, n_lights,
     seed_mix, seed_raw = _mix32_py(sd), sd
     w_ne = float(n_lights + 1) if n_lights else 1.0
     env = env_color
-    inv_strat = 1.0 / float(n_strat)
 
     def kernel(cam_ref, tab_ref, ids_ref, pix_ref, out_ref):
         col = lambda f: tab_ref[:, f:f + 1]            # [N, 1]
@@ -114,13 +107,18 @@ def _make_mega_kernel(cfg_t, lights_p, lights_i, env_color, n_lights,
             Counters ride as f32: ANY i32 select on [1, blk] vectors
             fails Mosaic layout inference ("Invalid relayout ...
             replicated"), so the loop carries no integer vectors."""
+            # true division, NOT multiply-by-reciprocal: f32(1/n) can round
+            # below 1/n, making floor(s*inv) one too small at s = k*n (wrong
+            # stratum, ray jittered into the neighboring pixel) and the
+            # jitter offset 1 ulp off the step/XLA wavefronts' (sx+xi)/n.
+            # s_f / n floors exactly for every n <= 256 (verified).
             xi = uniforms(f2u(s_f), jnp.uint32(0x7FFF0000), 2)
-            q = jnp.floor(s_f * inv_strat)
+            q = jnp.floor(s_f / float(n_strat))
             sx = s_f - q * float(n_strat)              # sample % n_strat
-            q2 = jnp.floor(q * inv_strat)
+            q2 = jnp.floor(q / float(n_strat))
             sy = q - q2 * float(n_strat)               # (s // n) % n
-            u01 = (xpix + (sx + xi[0]) * inv_strat) / float(w)
-            v01 = (ypix + (sy + xi[1]) * inv_strat) / float(h)
+            u01 = (xpix + (sx + xi[0]) / float(n_strat)) / float(w)
+            v01 = (ypix + (sy + xi[1]) / float(n_strat)) / float(h)
             if pinhole:
                 u = 1.0 - u01 * 2.0                    # x-flip (camera.h:47)
                 v = v01 * 2.0 - 1.0
@@ -262,6 +260,10 @@ def mega_call(cam_vec, table, ids, cfg_t, lights_p, lights_i, env_color,
     kernel = _make_mega_kernel(cfg_t, lights_p, lights_i, env_color,
                                len(lights_p), pinhole)
     b = ids.shape[1]
+    if b % block:
+        raise ValueError(
+            f"mega_call: B={b} must be a multiple of block={block} "
+            f"(the grid would silently drop the tail)")
     w = cfg_t[0]
     pix = jnp.concatenate([(ids % w).astype(jnp.float32),
                            (ids // w).astype(jnp.float32)], axis=0)

@@ -187,179 +187,178 @@ def _tau_nee(col, px, py, pz, wx, wy, wz, tmax):
 
 def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
                  u_env1, u_env2, lights_p, lights_i, env_color,
-                 solver_iters, n_lights, finisher: bool = True):
+                 solver_iters, n_lights, finisher: bool = False):
     """The bounce math on [1, blk] ray rows against [N, 1] feature
     columns: free-flight solve + albedo + NEE.  Shared by the per-bounce
     kernel below and the persistent wavefront megakernel
     (kernels/megatrace.py).  Returns (t_sc, scattered, albedo,
     lix, liy, liz, tau_tot, fin) — all [1, blk]."""
-    if True:
-        a, b = _coeffs(col, ox, oy, oz, dx, dy, dz)
-        dens_norm = col(10)
-        a_s = jnp.maximum(a, 1e-30)
-        t0, t1, m2, ok = _interval(col, ox, oy, oz, dx, dy, dz, a, b)
+    a, b = _coeffs(col, ox, oy, oz, dx, dy, dz)
+    dens_norm = col(10)
+    a_s = jnp.maximum(a, 1e-30)
+    t0, t1, m2, ok = _interval(col, ox, oy, oz, dx, dy, dz, a, b)
 
-        sa = jnp.sqrt(a_s)
-        zoff = b * (0.5 / sa)
-        peak = dens_norm * jnp.exp(-0.5 * m2)
-        pref = jnp.where(ok, peak * jnp.sqrt(jnp.pi / (2.0 * a_s)), 0.0)
-        erf_lo = _erf((sa * t0 + zoff) * SQRT_HALF)
-        erf_hi = _erf((sa * t1 + zoff) * SQRT_HALF)
-        tau_i = pref * (erf_hi - erf_lo)
-        t0m = jnp.where(ok, t0, BIG)
-        t1m = jnp.where(ok, t1, 0.0)
+    sa = jnp.sqrt(a_s)
+    zoff = b * (0.5 / sa)
+    peak = dens_norm * jnp.exp(-0.5 * m2)
+    pref = jnp.where(ok, peak * jnp.sqrt(jnp.pi / (2.0 * a_s)), 0.0)
+    erf_lo = _erf((sa * t0 + zoff) * SQRT_HALF)
+    erf_hi = _erf((sa * t1 + zoff) * SQRT_HALF)
+    tau_i = pref * (erf_hi - erf_lo)
+    t0m = jnp.where(ok, t0, BIG)
+    t1m = jnp.where(ok, t1, 0.0)
 
-        tau_tot = jnp.sum(tau_i, axis=0, keepdims=True)      # [1, blk]
-        t_lo = jnp.min(t0m, axis=0, keepdims=True)
-        t_hi = jnp.max(t1m, axis=0, keepdims=True)
-        t_lo = jnp.minimum(t_lo, t_hi)
+    tau_tot = jnp.sum(tau_i, axis=0, keepdims=True)      # [1, blk]
+    t_lo = jnp.min(t0m, axis=0, keepdims=True)
+    t_hi = jnp.max(t1m, axis=0, keepdims=True)
+    t_lo = jnp.minimum(t_lo, t_hi)
 
-        target = -jnp.log(jnp.maximum(1.0 - u_tau, 1e-12))
-        scattered = tau_tot > target
-        tgt = jnp.minimum(target, tau_tot * 0.999999)
+    target = -jnp.log(jnp.maximum(1.0 - u_tau, 1e-12))
+    scattered = tau_tot > target
+    tgt = jnp.minimum(target, tau_tot * 0.999999)
 
-        # --- bracketed Newton + Illinois on the clipped-interval tau ---
-        # (see ops/solvers._safeguarded_newton for the convergence story:
-        # the regula-falsi fallback fixes the flat-region tail that plain
-        # bisection fallbacks converge through at 1 bit/iter)
-        def newton_body(_, st):
-            lo, hi, flo, fhi, t = st
-            z = sa * t + zoff                                 # [N, blk]
-            ez = jnp.exp(-0.5 * z * z)    # shared: erf factor == extinction
-            ferf = _erf_from_exp(z * SQRT_HALF, ez)
-            seg = jnp.where(t >= t1m, tau_i, pref * (ferf - erf_lo))
-            seg = jnp.where(t > t0m, seg, 0.0)
-            tau = jnp.sum(seg, axis=0, keepdims=True)
-            inside = (t >= t0m) & (t <= t1m)
-            rho = jnp.where(inside & ok, peak * ez, 0.0)
-            sig = jnp.sum(rho, axis=0, keepdims=True)
-            f = tau - tgt
-            neg = f < 0.0
-            flo = jnp.where(neg, f, flo * 0.5)
-            fhi = jnp.where(neg, fhi * 0.5, f)
-            lo = jnp.where(neg, t, lo)
-            hi = jnp.where(neg, hi, t)
-            t_n = t - f / jnp.maximum(sig, 1e-30)
-            good = (t_n > lo) & (t_n < hi)
-            denom = fhi - flo
-            t_f = hi - fhi * (hi - lo) / jnp.where(
-                jnp.abs(denom) > 1e-30, denom, 1e-30)
-            # unclamped Illinois (see ops/solvers.FALSI_MARGIN): clipping
-            # away from the edges blocked roots near an edge
-            t_f = jnp.clip(t_f, lo, hi)
-            t = jnp.where(good, t_n, t_f)
-            return lo, hi, flo, fhi, t
+    # --- bracketed Newton + Illinois on the clipped-interval tau ---
+    # (see ops/solvers._safeguarded_newton for the convergence story:
+    # the regula-falsi fallback fixes the flat-region tail that plain
+    # bisection fallbacks converge through at 1 bit/iter)
+    def newton_body(_, st):
+        lo, hi, flo, fhi, t = st
+        z = sa * t + zoff                                 # [N, blk]
+        ez = jnp.exp(-0.5 * z * z)    # shared: erf factor == extinction
+        ferf = _erf_from_exp(z * SQRT_HALF, ez)
+        seg = jnp.where(t >= t1m, tau_i, pref * (ferf - erf_lo))
+        seg = jnp.where(t > t0m, seg, 0.0)
+        tau = jnp.sum(seg, axis=0, keepdims=True)
+        inside = (t >= t0m) & (t <= t1m)
+        rho = jnp.where(inside & ok, peak * ez, 0.0)
+        sig = jnp.sum(rho, axis=0, keepdims=True)
+        f = tau - tgt
+        neg = f < 0.0
+        flo = jnp.where(neg, f, flo * 0.5)
+        fhi = jnp.where(neg, fhi * 0.5, f)
+        lo = jnp.where(neg, t, lo)
+        hi = jnp.where(neg, hi, t)
+        t_n = t - f / jnp.maximum(sig, 1e-30)
+        good = (t_n > lo) & (t_n < hi)
+        denom = fhi - flo
+        t_f = hi - fhi * (hi - lo) / jnp.where(
+            jnp.abs(denom) > 1e-30, denom, 1e-30)
+        # unclamped Illinois (see ops/solvers.FALSI_MARGIN): clipping
+        # away from the edges blocked roots near an edge
+        t_f = jnp.clip(t_f, lo, hi)
+        t = jnp.where(good, t_n, t_f)
+        return lo, hi, flo, fhi, t
 
-        t_init = 0.5 * (t_lo + t_hi)
-        flo0 = -tgt
-        fhi0 = jnp.maximum(tau_tot - tgt, 1e-12)
-        *_, t_sc = jax.lax.fori_loop(
-            0, solver_iters, newton_body,
-            (t_lo, t_hi, flo0, fhi0, t_init))
-        t_sc = jnp.clip(t_sc, t_lo, t_hi)                     # [1, blk]
+    t_init = 0.5 * (t_lo + t_hi)
+    flo0 = -tgt
+    fhi0 = jnp.maximum(tau_tot - tgt, 1e-12)
+    *_, t_sc = jax.lax.fori_loop(
+        0, solver_iters, newton_body,
+        (t_lo, t_hi, flo0, fhi0, t_init))
+    t_sc = jnp.clip(t_sc, t_lo, t_hi)                     # [1, blk]
 
-        # --- analytic erfinv finisher (distance_solvers.h:176-186) ---
-        # Where the iterated root lies inside exactly ONE gaussian's
-        # interval, the residual target inverts in closed form; one sweep
-        # classifies the active set at t_sc and guards that no other
-        # interval opens/closes between t_sc and the analytic root, so the
-        # replacement is exact.  Measured cost on v5e: ~27 ns/ray at
-        # N=250 (the 11 masked sublane reductions) — ~5.6 Newton
-        # iterations — so it is gated by ``finisher``.
-        if finisher:
-            act = (t_sc > t0m) & (t_sc < t1m) & ok            # [N, blk]
-            n_act = jnp.sum(act.astype(jnp.float32), axis=0, keepdims=True)
-            done = ok & (t1m <= t_sc)
-            tau_done = jnp.sum(jnp.where(done, tau_i, 0.0), axis=0,
-                               keepdims=True)
-            nxt = jnp.min(jnp.where(ok & (t0m > t_sc), t0m, BIG), axis=0,
-                          keepdims=True)
-            prv = jnp.max(jnp.where(done, t1m, 0.0), axis=0, keepdims=True)
-            pick = lambda x: jnp.sum(jnp.where(act, x, 0.0), axis=0,
-                                     keepdims=True)
-            sa1 = pick(sa)
-            zoff1 = pick(zoff)
-            pref1 = pick(pref)
-            erflo1 = pick(erf_lo)
-            t0_1 = pick(t0m)
-            t1_1 = pick(t1m)
-            arg = (tgt - tau_done) / jnp.maximum(pref1, 1e-30) + erflo1
-            one_eps = 1.0 - 1e-6
-            t_a = (_erfinv(jnp.clip(arg, -one_eps, one_eps)) / SQRT_HALF
-                   - zoff1) / jnp.maximum(sa1, 1e-30)
-            fin = ((n_act == 1.0) & (arg > -one_eps) & (arg < one_eps)
-                   & (t_a >= jnp.maximum(t0_1, prv))
-                   & (t_a <= jnp.minimum(t1_1, nxt)))
-            t_sc = jnp.where(fin, t_a, t_sc)
-        else:
-            fin = tau_tot < 0.0                               # all-false
+    # --- analytic erfinv finisher (distance_solvers.h:176-186) ---
+    # Where the iterated root lies inside exactly ONE gaussian's
+    # interval, the residual target inverts in closed form; one sweep
+    # classifies the active set at t_sc and guards that no other
+    # interval opens/closes between t_sc and the analytic root, so the
+    # replacement is exact.  Measured cost on v5e: ~27 ns/ray at
+    # N=250 (the 11 masked sublane reductions) — ~5.6 Newton
+    # iterations — so it is gated by ``finisher``.
+    if finisher:
+        act = (t_sc > t0m) & (t_sc < t1m) & ok            # [N, blk]
+        n_act = jnp.sum(act.astype(jnp.float32), axis=0, keepdims=True)
+        done = ok & (t1m <= t_sc)
+        tau_done = jnp.sum(jnp.where(done, tau_i, 0.0), axis=0,
+                           keepdims=True)
+        nxt = jnp.min(jnp.where(ok & (t0m > t_sc), t0m, BIG), axis=0,
+                      keepdims=True)
+        prv = jnp.max(jnp.where(done, t1m, 0.0), axis=0, keepdims=True)
+        pick = lambda x: jnp.sum(jnp.where(act, x, 0.0), axis=0,
+                                 keepdims=True)
+        sa1 = pick(sa)
+        zoff1 = pick(zoff)
+        pref1 = pick(pref)
+        erflo1 = pick(erf_lo)
+        t0_1 = pick(t0m)
+        t1_1 = pick(t1m)
+        arg = (tgt - tau_done) / jnp.maximum(pref1, 1e-30) + erflo1
+        one_eps = 1.0 - 1e-6
+        t_a = (_erfinv(jnp.clip(arg, -one_eps, one_eps)) / SQRT_HALF
+               - zoff1) / jnp.maximum(sa1, 1e-30)
+        fin = ((n_act == 1.0) & (arg > -one_eps) & (arg < one_eps)
+               & (t_a >= jnp.maximum(t0_1, prv))
+               & (t_a <= jnp.minimum(t1_1, nxt)))
+        t_sc = jnp.where(fin, t_a, t_sc)
+    else:
+        fin = tau_tot < 0.0                               # all-false
 
-        # --- mixture albedo at the scatter point (gmm.h:128-143) ---
-        alb_col = col(11)
-        z = sa * t_sc + zoff
-        inside = (t_sc >= t0m) & (t_sc <= t1m)
-        rho = jnp.where(inside & ok, peak * jnp.exp(-0.5 * z * z), 0.0)
-        s_sum = jnp.sum(rho, axis=0, keepdims=True)
-        sa_sum = jnp.sum(rho * alb_col, axis=0, keepdims=True)
-        s_safe = jnp.where(s_sum > 1e-25, s_sum, 1.0)
-        albedo = jnp.clip(jnp.where(s_sum > 1e-25, sa_sum / s_safe, 0.0),
-                          0.0, 1.0)
+    # --- mixture albedo at the scatter point (gmm.h:128-143) ---
+    alb_col = col(11)
+    z = sa * t_sc + zoff
+    inside = (t_sc >= t0m) & (t_sc <= t1m)
+    rho = jnp.where(inside & ok, peak * jnp.exp(-0.5 * z * z), 0.0)
+    s_sum = jnp.sum(rho, axis=0, keepdims=True)
+    sa_sum = jnp.sum(rho * alb_col, axis=0, keepdims=True)
+    s_safe = jnp.where(s_sum > 1e-25, s_sum, 1.0)
+    albedo = jnp.clip(jnp.where(s_sum > 1e-25, sa_sum / s_safe, 0.0),
+                      0.0, 1.0)
 
-        # --- NEE: pick env or one light (integrator.h:657-683) ---
-        px = ox + t_sc * dx
-        py = oy + t_sc * dy
-        pz = oz + t_sc * dz
+    # --- NEE: pick env or one light (integrator.h:657-683) ---
+    px = ox + t_sc * dx
+    py = oy + t_sc * dy
+    pz = oz + t_sc * dz
 
-        theta = 2.0 * jnp.pi * u_env1
-        cphi = 1.0 - 2.0 * u_env2
-        sphi = jnp.sqrt(jnp.maximum(1.0 - cphi * cphi, 0.0))
-        ex = sphi * jnp.cos(theta)
-        ey = sphi * jnp.sin(theta)
-        ez = cphi
+    theta = 2.0 * jnp.pi * u_env1
+    cphi = 1.0 - 2.0 * u_env2
+    sphi = jnp.sqrt(jnp.maximum(1.0 - cphi * cphi, 0.0))
+    ex = sphi * jnp.cos(theta)
+    ey = sphi * jnp.sin(theta)
+    ez = cphi
 
-        if n_lights == 0:
-            wx, wy, wz = ex, ey, ez
-            tmax = jnp.full_like(t_sc, 1e8)
-            is_env = jnp.ones_like(t_sc, bool)
-            radx = rady = radz = jnp.zeros_like(t_sc)
-            inv_d2 = jnp.zeros_like(t_sc)
-        else:
-            is_env = u_nee < 1.0 / (n_lights + 1)
-            lidx = jnp.clip((u_light * n_lights).astype(jnp.int32),
-                            0, n_lights - 1)
-            lx = ly = lz = jnp.zeros_like(t_sc)
-            radx = rady = radz = jnp.zeros_like(t_sc)
-            for l in range(n_lights):
-                sel = lidx == l
-                lx = jnp.where(sel, lights_p[l][0], lx)
-                ly = jnp.where(sel, lights_p[l][1], ly)
-                lz = jnp.where(sel, lights_p[l][2], lz)
-                radx = jnp.where(sel, lights_i[l][0], radx)
-                rady = jnp.where(sel, lights_i[l][1], rady)
-                radz = jnp.where(sel, lights_i[l][2], radz)
-            tox = lx - px
-            toy = ly - py
-            toz = lz - pz
-            dist = jnp.sqrt(jnp.maximum(
-                tox * tox + toy * toy + toz * toz, 1e-24))
-            inv_dist = 1.0 / dist
-            wx = jnp.where(is_env, ex, tox * inv_dist)
-            wy = jnp.where(is_env, ey, toy * inv_dist)
-            wz = jnp.where(is_env, ez, toz * inv_dist)
-            tmax = jnp.where(is_env, 1e8, dist)
-            inv_d2 = inv_dist * inv_dist
+    if n_lights == 0:
+        wx, wy, wz = ex, ey, ez
+        tmax = jnp.full_like(t_sc, 1e8)
+        is_env = jnp.ones_like(t_sc, bool)
+        radx = rady = radz = jnp.zeros_like(t_sc)
+        inv_d2 = jnp.zeros_like(t_sc)
+    else:
+        is_env = u_nee < 1.0 / (n_lights + 1)
+        lidx = jnp.clip((u_light * n_lights).astype(jnp.int32),
+                        0, n_lights - 1)
+        lx = ly = lz = jnp.zeros_like(t_sc)
+        radx = rady = radz = jnp.zeros_like(t_sc)
+        for l in range(n_lights):
+            sel = lidx == l
+            lx = jnp.where(sel, lights_p[l][0], lx)
+            ly = jnp.where(sel, lights_p[l][1], ly)
+            lz = jnp.where(sel, lights_p[l][2], lz)
+            radx = jnp.where(sel, lights_i[l][0], radx)
+            rady = jnp.where(sel, lights_i[l][1], rady)
+            radz = jnp.where(sel, lights_i[l][2], radz)
+        tox = lx - px
+        toy = ly - py
+        toz = lz - pz
+        dist = jnp.sqrt(jnp.maximum(
+            tox * tox + toy * toy + toz * toz, 1e-24))
+        inv_dist = 1.0 / dist
+        wx = jnp.where(is_env, ex, tox * inv_dist)
+        wy = jnp.where(is_env, ey, toy * inv_dist)
+        wz = jnp.where(is_env, ez, toz * inv_dist)
+        tmax = jnp.where(is_env, 1e8, dist)
+        inv_d2 = inv_dist * inv_dist
 
-        tau_nee = _tau_nee(col, px, py, pz, wx, wy, wz, tmax)
-        tr = jnp.exp(-tau_nee)
-        env = env_color
-        lix = jnp.where(is_env, tr * (env[0] * FOUR_PI), tr * radx * inv_d2)
-        liy = jnp.where(is_env, tr * (env[1] * FOUR_PI), tr * rady * inv_d2)
-        liz = jnp.where(is_env, tr * (env[2] * FOUR_PI), tr * radz * inv_d2)
-        return t_sc, scattered, albedo, lix, liy, liz, tau_tot, fin
+    tau_nee = _tau_nee(col, px, py, pz, wx, wy, wz, tmax)
+    tr = jnp.exp(-tau_nee)
+    env = env_color
+    lix = jnp.where(is_env, tr * (env[0] * FOUR_PI), tr * radx * inv_d2)
+    liy = jnp.where(is_env, tr * (env[1] * FOUR_PI), tr * rady * inv_d2)
+    liz = jnp.where(is_env, tr * (env[2] * FOUR_PI), tr * radz * inv_d2)
+    return t_sc, scattered, albedo, lix, liy, liz, tau_tot, fin
 
 
 def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
-                 finisher: bool = True):
+                 finisher: bool = False):
     """Build the bounce kernel with scene lights baked in as constants."""
 
     def kernel(tab_ref, rays_ref, out_ref):
@@ -389,7 +388,7 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
     "interpret"))
 def _bounce_call(table, rays, lights_p, lights_i, env_color,
                  solver_iters: int, block: int, interpret: bool,
-                 finisher: bool = True):
+                 finisher: bool = False):
     kernel = _make_kernel(lights_p, lights_i, env_color, solver_iters,
                           len(lights_p), finisher)
     b = rays.shape[1]
@@ -440,7 +439,7 @@ def pallas_supported_n(n: int) -> bool:
 
 def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,
                        solver_iters: int = 14, block: int = 0,
-                       interpret: bool = False, finisher: bool = True):
+                       interpret: bool = False, finisher: bool = False):
     """One fused bounce for a ray batch.
 
     table: [Np, 128] from pack_table; o, d: [B,3]; xi: [B, >=5] uniforms

@@ -137,7 +137,12 @@ def test_megakernel_matches_step_wavefront(rng):
                                          diameter=(0.2, 0.6),
                                          density=(0.5, 2.0)))
     cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
-    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=6,
+    # spp=9 -> n_strat=3: exercises the in-kernel stratified-jitter math
+    # (floor-div stratum + /n_strat offset), the one piece of ray-gen the
+    # megakernel does not share with _bounce_core.  A non-power-of-two
+    # n_strat would diverge by 1 ulp (-> chaotic path divergence) if the
+    # kernel used multiply-by-reciprocal instead of true division.
+    cfg = RenderConfig(width=16, height=16, spp=9, max_bounces=6,
                       pallas="interpret", wavefront="mega")
     ids = jnp.arange(256, dtype=jnp.int32)
 
