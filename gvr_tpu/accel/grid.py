@@ -41,6 +41,10 @@ import numpy as np
 
 H = 32    # entries per solve-view slice (sublane granularity)
 H2 = 128  # entries per span-view slice (lane granularity; DMA-aligned)
+# benign-pad slices appended to both table views: bounds the span kernel's
+# manual-DMA over-read (its chunked fetch may touch up to FETCH-1 slices
+# past the last real one; kernels/gridtrace.py asserts FETCH <= SPAN_PAD+1)
+SPAN_PAD = 8
 # solve-pass VMEM scratch is 9 arrays x (s_cap*H, 128) f32; cap the densest
 # cell so that stays under ~40 MB.  Scenes violating this at every side
 # (if any) fall back to the dense engine.
@@ -271,7 +275,7 @@ def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
         else:
             # the cost curve is near-unimodal in side; once it has sat
             # >2x above the best for 3 consecutive sides, stop sweeping
-            rising += 1 if cost > 2.0 * best_cost else 0
+            rising = rising + 1 if cost > 2.0 * best_cost else 0
             if rising >= 3:
                 break
     if best is None:
@@ -325,7 +329,7 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
     order = np.argsort(cell_ids, kind="stable")
     rows = _feature_rows(gmm)
     pad = _benign_pad_row()
-    s_pad = 8                     # covers the span kernel's FETCH over-read
+    s_pad = SPAN_PAD              # covers the span kernel's FETCH over-read
     flat = np.tile(pad, ((s_total + s_pad) * H, 1)).astype(np.float32)
     flat[:e_total] = rows[g_ids[order]]
     flat[:e_total, 9] = cell_ids[order].astype(np.float32)
@@ -431,10 +435,33 @@ def dda_crossings(grid: GridIndex, origin, direction, tmax=None):
     idx = jnp.clip(((mid - glo) * grid.inv_cell).astype(jnp.int32),
                    0, side - 1)                                  # [C, B, 3]
     cid = (idx[..., 0] * side[1] + idx[..., 1]) * side[2] + idx[..., 2]
-    valid = t_out > t_in
+    # f32 midpoints can misclassify a corner-grazing sliver interval into
+    # the SAME cell as a neighboring interval.  The span kernel
+    # re-integrates the full ray-cell-box crossing from the cell id alone,
+    # so a duplicated id would double-count that cell's tau — and the
+    # solve bracket could collapse to the sliver's near-zero width.
+    # Intervals tile [t_enter, t_exit] contiguously in t, so duplicates
+    # are adjacent: merge each maximal run of equal-cid rows into one
+    # interval [run-head t_in, run-end t_out] and invalidate the rest.
+    # (Unrolled selects over the ~3*side rows — dense vector ops, no
+    # gathers, per the sort/gather economics above.)
+    c_rows = cid.shape[0]
+    head = [jnp.ones_like(cid[0], bool)]
+    htin = [t_in[0]]
+    for i in range(1, c_rows):
+        head.append(cid[i] != cid[i - 1])
+        htin.append(jnp.where(head[i], t_in[i], htin[i - 1]))
+    rout = [None] * c_rows
+    rout[-1] = t_out[-1]
+    for i in range(c_rows - 2, -1, -1):
+        rout[i] = jnp.where(head[i + 1], t_out[i], rout[i + 1])
+    head = jnp.stack(head)
+    htin = jnp.stack(htin)
+    rout = jnp.stack(rout)
+    valid = head & (rout > htin)
     cells = jnp.where(valid, cid, -1)
-    return (cells.T, jnp.where(valid, t_in, 0.0).T,
-            jnp.where(valid, t_out, 0.0).T)
+    return (cells.T, jnp.where(valid, htin, 0.0).T,
+            jnp.where(valid, rout, 0.0).T)
 
 
 # -----------------------------------------------------------------------------

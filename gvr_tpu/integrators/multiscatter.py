@@ -664,8 +664,17 @@ def engine_for(cfg: RenderConfig, gmm):
     from gvr_tpu.integrators.gridscatter import grid_for
     from gvr_tpu.accel.grid import S_CAP_MAX
     grid = grid_for(gmm)
-    if cfg.engine != "grid" and grid.s_cap > S_CAP_MAX:
-        return "dense", None
+    if grid.s_cap > S_CAP_MAX:
+        if cfg.engine != "grid":
+            return "dense", None
+        # choose_side estimates s_cap from a subsample; the real build can
+        # exceed it.  A forced grid run would blow the solve kernel's
+        # documented VMEM scratch bound — refuse loudly instead.
+        raise ValueError(
+            f"engine='grid': scene's densest cell spans {grid.s_cap} "
+            f"table slices (> S_CAP_MAX={S_CAP_MAX}); the grid engine "
+            f"cannot hold its solve scratch in VMEM for this scene — "
+            f"use engine='auto' or 'dense'")
     return "grid", grid
 
 

@@ -36,13 +36,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gvr_tpu.kernels.pathtrace import (_erf, _erf_from_exp, _erfinv,
-                                       _coeffs, _interval, SQRT_HALF, BIG)
-from gvr_tpu.accel.grid import H
+from gvr_tpu.kernels.pathtrace import (_erf, _erf_from_exp, _coeffs,
+                                       _interval, _illinois_update,
+                                       _finisher_root, SQRT_HALF, BIG)
+from gvr_tpu.accel.grid import H, SPAN_PAD
 
 BLK = 128     # items per solve block (one lane tile)
 TAU_BLK = 512 # items per span-tau block (lanes)
 FETCH = 4     # table slices per DMA chunk (each [32, 16] = 2 KB)
+# the chunked manual DMA may read up to FETCH-1 slices past the last real
+# table slice; the grid builder appends SPAN_PAD benign slices to cover it
+assert FETCH <= SPAN_PAD + 1, (FETCH, SPAN_PAD)
 
 
 def _quants(tab_ref, row, col=None):
@@ -254,7 +258,7 @@ def _slice_index_map(b, j, first_ref, nsl_ref, bcell_ref):
     return (first_ref[b] + jc, 0, 0)
 
 
-def _make_solve_kernel(s_cap, solver_iters):
+def _make_solve_kernel(solver_iters):
     def kernel(first_ref, nsl_ref, bcell_ref, tab_ref, item_ref, out_ref,
                s_sa, s_zoff, s_peak, s_pref, s_erflo, s_taui, s_lo, s_hi,
                s_alb):
@@ -335,24 +339,12 @@ def _make_solve_kernel(s_cap, solver_iters):
                             sig_a + jnp.sum(rho, axis=0, keepdims=True))
                 return jax.lax.fori_loop(0, nsl, acc, (zrow, zrow))
 
-            # Newton + Illinois fallback (see ops/solvers)
+            # Newton + Illinois fallback, shared with the dense kernel
             def newton_body(_, st):
                 lo_b, hi_b, flo, fhi, t = st
                 tau, sig = tau_sig_at(t)
-                f = tau - tgt
-                neg = f < 0.0
-                flo = jnp.where(neg, f, flo * 0.5)
-                fhi = jnp.where(neg, fhi * 0.5, f)
-                lo_b = jnp.where(neg, t, lo_b)
-                hi_b = jnp.where(neg, hi_b, t)
-                t_n = t - f / jnp.maximum(sig, 1e-30)
-                good = (t_n > lo_b) & (t_n < hi_b)
-                denom = fhi - flo
-                t_f = hi_b - fhi * (hi_b - lo_b) / jnp.where(
-                    jnp.abs(denom) > 1e-30, denom, 1e-30)
-                # unclamped Illinois (see ops/solvers.FALSI_MARGIN)
-                t_f = jnp.clip(t_f, lo_b, hi_b)
-                return lo_b, hi_b, flo, fhi, jnp.where(good, t_n, t_f)
+                return _illinois_update(lo_b, hi_b, flo, fhi, t,
+                                        tau - tgt, sig)
 
             t_init = 0.5 * (t_lo + t_hi)
             flo0 = -tgt
@@ -396,13 +388,8 @@ def _make_solve_kernel(s_cap, solver_iters):
                 0, nsl, fin_body,
                 (zrow, zrow, big_row, zrow, zrow, zrow, zrow, zrow,
                  zrow, zrow))
-            arg = (tgt - tdone) / jnp.maximum(pf1, 1e-30) + el1
-            one_eps = 1.0 - 1e-6
-            t_a = (_erfinv(jnp.clip(arg, -one_eps, one_eps)) / SQRT_HALF
-                   - zo1) / jnp.maximum(sa1, 1e-30)
-            fin = ((na == 1.0) & (arg > -one_eps) & (arg < one_eps)
-                   & (t_a >= jnp.maximum(t01, pv))
-                   & (t_a <= jnp.minimum(t11, nx)))
+            t_a, fin = _finisher_root(tgt, tdone, na, nx, pv, sa1, zo1,
+                                      pf1, el1, t01, t11)
             t_sc = jnp.where(fin, t_a, t_sc)
             t_sc = jnp.clip(t_sc, t_lo, t_hi)
 
@@ -442,7 +429,7 @@ def solve_pass(table, first_arr, nsl_arr, bcell_arr, items, s_cap: int,
     (t_sc [P], albedo [P])."""
     p = items.shape[1]
     nb = p // BLK
-    kernel = _make_solve_kernel(s_cap, solver_iters)
+    kernel = _make_solve_kernel(solver_iters)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, p), jnp.float32),

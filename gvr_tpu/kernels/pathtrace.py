@@ -185,6 +185,46 @@ def _tau_nee(col, px, py, pz, wx, wy, wz, tmax):
     return jnp.sum(jnp.where(ok, seg, 0.0), axis=0, keepdims=True)
 
 
+def _illinois_update(lo, hi, flo, fhi, t, f, sig):
+    """One safeguarded Newton + Illinois step, shared by the dense bounce
+    kernel below and the grid solve kernel (kernels/gridtrace.py) so a
+    solver fix cannot silently miss one of them.  f = tau(t) - target and
+    sig = dtau/dt at t; returns the updated (lo, hi, flo, fhi, t_next).
+    See ops/solvers._safeguarded_newton for the convergence story."""
+    neg = f < 0.0
+    flo = jnp.where(neg, f, flo * 0.5)
+    fhi = jnp.where(neg, fhi * 0.5, f)
+    lo = jnp.where(neg, t, lo)
+    hi = jnp.where(neg, hi, t)
+    t_n = t - f / jnp.maximum(sig, 1e-30)
+    good = (t_n > lo) & (t_n < hi)
+    denom = fhi - flo
+    t_f = hi - fhi * (hi - lo) / jnp.where(
+        jnp.abs(denom) > 1e-30, denom, 1e-30)
+    # unclamped Illinois (see ops/solvers.FALSI_MARGIN): clipping
+    # away from the edges blocked roots near an edge
+    t_f = jnp.clip(t_f, lo, hi)
+    return lo, hi, flo, fhi, jnp.where(good, t_n, t_f)
+
+
+def _finisher_root(tgt, tau_done, n_act, nxt, prv, sa1, zoff1, pref1,
+                   erflo1, t0_1, t1_1):
+    """Analytic erfinv finisher acceptance (distance_solvers.h:176-186),
+    shared by the dense and grid solve kernels.  Inputs are the active-set
+    statistics at the iterated root (sums over the single active entry);
+    returns (t_a, fin): the closed-form root and where it is exact —
+    exactly one active interval, in-range erf argument, and no other
+    interval opening/closing between the iterated and analytic roots."""
+    arg = (tgt - tau_done) / jnp.maximum(pref1, 1e-30) + erflo1
+    one_eps = 1.0 - 1e-6
+    t_a = (_erfinv(jnp.clip(arg, -one_eps, one_eps)) / SQRT_HALF
+           - zoff1) / jnp.maximum(sa1, 1e-30)
+    fin = ((n_act == 1.0) & (arg > -one_eps) & (arg < one_eps)
+           & (t_a >= jnp.maximum(t0_1, prv))
+           & (t_a <= jnp.minimum(t1_1, nxt)))
+    return t_a, fin
+
+
 def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
                  u_env1, u_env2, lights_p, lights_i, env_color,
                  solver_iters, n_lights, finisher: bool = False):
@@ -232,22 +272,7 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
         inside = (t >= t0m) & (t <= t1m)
         rho = jnp.where(inside & ok, peak * ez, 0.0)
         sig = jnp.sum(rho, axis=0, keepdims=True)
-        f = tau - tgt
-        neg = f < 0.0
-        flo = jnp.where(neg, f, flo * 0.5)
-        fhi = jnp.where(neg, fhi * 0.5, f)
-        lo = jnp.where(neg, t, lo)
-        hi = jnp.where(neg, hi, t)
-        t_n = t - f / jnp.maximum(sig, 1e-30)
-        good = (t_n > lo) & (t_n < hi)
-        denom = fhi - flo
-        t_f = hi - fhi * (hi - lo) / jnp.where(
-            jnp.abs(denom) > 1e-30, denom, 1e-30)
-        # unclamped Illinois (see ops/solvers.FALSI_MARGIN): clipping
-        # away from the edges blocked roots near an edge
-        t_f = jnp.clip(t_f, lo, hi)
-        t = jnp.where(good, t_n, t_f)
-        return lo, hi, flo, fhi, t
+        return _illinois_update(lo, hi, flo, fhi, t, tau - tgt, sig)
 
     t_init = 0.5 * (t_lo + t_hi)
     flo0 = -tgt
@@ -276,19 +301,9 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
         prv = jnp.max(jnp.where(done, t1m, 0.0), axis=0, keepdims=True)
         pick = lambda x: jnp.sum(jnp.where(act, x, 0.0), axis=0,
                                  keepdims=True)
-        sa1 = pick(sa)
-        zoff1 = pick(zoff)
-        pref1 = pick(pref)
-        erflo1 = pick(erf_lo)
-        t0_1 = pick(t0m)
-        t1_1 = pick(t1m)
-        arg = (tgt - tau_done) / jnp.maximum(pref1, 1e-30) + erflo1
-        one_eps = 1.0 - 1e-6
-        t_a = (_erfinv(jnp.clip(arg, -one_eps, one_eps)) / SQRT_HALF
-               - zoff1) / jnp.maximum(sa1, 1e-30)
-        fin = ((n_act == 1.0) & (arg > -one_eps) & (arg < one_eps)
-               & (t_a >= jnp.maximum(t0_1, prv))
-               & (t_a <= jnp.minimum(t1_1, nxt)))
+        t_a, fin = _finisher_root(tgt, tau_done, n_act, nxt, prv,
+                                  pick(sa), pick(zoff), pick(pref),
+                                  pick(erf_lo), pick(t0m), pick(t1m))
         t_sc = jnp.where(fin, t_a, t_sc)
     else:
         fin = tau_tot < 0.0                               # all-false

@@ -82,6 +82,18 @@ def test_dda_crossings_tile_the_ray(grid, rays):
         assert (cid == cells[r][valid]).mean() > 0.97  # boundary-point slack
 
 
+def test_dda_crossings_cells_are_unique_per_ray(grid, rays):
+    """f32 midpoint slivers must not duplicate a neighbor's cell id: the
+    span kernel re-integrates the full ray-cell crossing from the id
+    alone, so a duplicate would double-count that cell's tau.  The DDA
+    merges adjacent equal-cid runs — every ray's valid cells are unique."""
+    o, d = rays
+    cells, _, _ = (np.asarray(a) for a in dda_crossings(grid, o, d))
+    for r in range(cells.shape[0]):
+        v = cells[r][cells[r] >= 0]
+        assert np.unique(v).size == v.size
+
+
 def test_worklist_blocks_are_single_cell(grid, rays):
     o, d = rays
     cells, _, _ = dda_crossings(grid, o, d)
