@@ -35,9 +35,8 @@ from gvr_tpu.accel.grid import GridIndex, build_grid, dda_crossings, \
 from gvr_tpu.kernels.gridtrace import solve_pass, span_tau_pass, BLK, \
     TAU_BLK
 from gvr_tpu.ops.sampling import path_uniforms
+from gvr_tpu.ops.solvers import NO_SCATTER
 from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
-
-NO_SCATTER = -1.0
 
 
 def _block_tables(grid: GridIndex, block_cell):
@@ -133,7 +132,13 @@ def grid_solve_from_crossings(grid: GridIndex, o, d, tau, cells, t_in,
     tau_tot = cum[:, -1]
     target = -jnp.log(jnp.maximum(1.0 - u_tau, 1e-12))
     scattered = tau_tot > target
-    tgt = jnp.minimum(target, tau_tot * 0.999999)
+    # floor the clamped target at a tiny positive tau: u_tau == 0 gives
+    # target 0, whose critical slot would be crossing 0 — possibly an
+    # EMPTY cell, making the solve block dead (t_sc = 0, albedo = 0, path
+    # killed) where the dense engine scatters at the medium entry with a
+    # real albedo.  The floor lands crit on the first occupied crossing
+    # and moves the root by O(1e-12) optical depth.
+    tgt = jnp.maximum(jnp.minimum(target, tau_tot * 0.999999), 1e-12)
 
     # first crossing where the running tau passes the target
     crit = jnp.sum((cum < tgt[:, None]).astype(jnp.int32), axis=-1)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gvr_tpu.scene.gaussians import default_param_eps
+from gvr_tpu.scene.gaussians import (default_param_eps,
+                                     PARAMS_PER_GAUSSIAN)
 
 
 def sfd_gradient(loss_of_params: Callable, params: jnp.ndarray,
@@ -32,7 +33,7 @@ def sfd_gradient(loss_of_params: Callable, params: jnp.ndarray,
     rng = rng or np.random.default_rng(0)
     params = np.asarray(params)
     if eps is None:
-        eps = default_param_eps(params.size // 11)
+        eps = default_param_eps(params.size // PARAMS_PER_GAUSSIAN)
     loss_of_params = jax.jit(loss_of_params)
     base = float(loss_of_params(jnp.asarray(params)))
     grad = np.zeros_like(params, np.float64)
@@ -52,8 +53,16 @@ def footprint_fn(scene_template, camera, cfg, k: int = 16) -> Callable:
 
     def fp(params):
         gmm = GaussianMixture.from_parameters(jnp.asarray(params))
-        idx, _ = pixel_gaussians(scene_template.with_medium(gmm), camera,
-                                 cfg, k)
+        idx, cnt = pixel_gaussians(scene_template.with_medium(gmm), camera,
+                                   cfg, k)
+        # a truncated footprint silently drops those gaussians' loss
+        # contributions from the localized-SFD cross-check — refuse loudly
+        over = int(np.max(cnt)) if cnt.size else 0
+        if over > min(k, gmm.n):
+            raise ValueError(
+                f"footprint_fn: a pixel's primary ray hits {over} "
+                f"gaussians (> k={k}); localized SFD would silently drop "
+                f"their contributions — call footprint_fn with k>={over}")
         return idx
 
     return fp
@@ -78,7 +87,7 @@ def sfd_gradient_localized(image_of_params: Callable,
     """
     rng = rng or np.random.default_rng(0)
     params = np.asarray(params)
-    n_gauss = params.size // 11
+    n_gauss = params.size // PARAMS_PER_GAUSSIAN
     if eps is None:
         eps = default_param_eps(n_gauss)
     target = np.asarray(target).reshape(-1, 3)
@@ -105,5 +114,5 @@ def sfd_gradient_localized(image_of_params: Callable,
         plus_loss = pixel_losses(image_of_params(jnp.asarray(p_plus)))
         mem = mem_base | membership(footprint_of_params(p_plus))
         f_diff = mem.T.astype(np.float64) @ (plus_loss - base_loss)   # [N]
-        grad += np.repeat(f_diff, 11) * s / eps
+        grad += np.repeat(f_diff, PARAMS_PER_GAUSSIAN) * s / eps
     return (grad / num_samples).astype(np.float32)

@@ -185,26 +185,10 @@ def _tau_nee(col, px, py, pz, wx, wy, wz, tmax):
     return jnp.sum(jnp.where(ok, seg, 0.0), axis=0, keepdims=True)
 
 
-def _illinois_update(lo, hi, flo, fhi, t, f, sig):
-    """One safeguarded Newton + Illinois step, shared by the dense bounce
-    kernel below and the grid solve kernel (kernels/gridtrace.py) so a
-    solver fix cannot silently miss one of them.  f = tau(t) - target and
-    sig = dtau/dt at t; returns the updated (lo, hi, flo, fhi, t_next).
-    See ops/solvers._safeguarded_newton for the convergence story."""
-    neg = f < 0.0
-    flo = jnp.where(neg, f, flo * 0.5)
-    fhi = jnp.where(neg, fhi * 0.5, f)
-    lo = jnp.where(neg, t, lo)
-    hi = jnp.where(neg, hi, t)
-    t_n = t - f / jnp.maximum(sig, 1e-30)
-    good = (t_n > lo) & (t_n < hi)
-    denom = fhi - flo
-    t_f = hi - fhi * (hi - lo) / jnp.where(
-        jnp.abs(denom) > 1e-30, denom, 1e-30)
-    # unclamped Illinois (see ops/solvers.FALSI_MARGIN): clipping
-    # away from the edges blocked roots near an edge
-    t_f = jnp.clip(t_f, lo, hi)
-    return lo, hi, flo, fhi, jnp.where(good, t_n, t_f)
+# the canonical Newton+Illinois step lives in ops/solvers (one copy for
+# the XLA solvers, this dense kernel, and the grid kernel) — pure jnp
+# select math, so it traces identically inside Pallas
+from gvr_tpu.ops.solvers import illinois_update as _illinois_update
 
 
 def _finisher_root(tgt, tau_done, n_act, nxt, prv, sa1, zoff1, pref1,

@@ -34,8 +34,7 @@ import jax.numpy as jnp
 
 from gvr_tpu.config import Solver
 from gvr_tpu.ops.transmittance import (
-    RayGaussians, tau_up_to, tau_total, sigma_t_at, far_bound, any_hit,
-    _ferf)
+    RayGaussians, tau_up_to, tau_total, sigma_t_at, far_bound, any_hit)
 
 NO_SCATTER = -1.0
 
@@ -55,6 +54,29 @@ def _bracket(rg: RayGaussians):
 # whenever the root sat near a bracket edge (steep-mixture rays with small
 # targets): measured tau-residual p99 3.5e-3 at 10 iters vs 2.2e-6 at 0.
 FALSI_MARGIN = 0.0
+
+
+def illinois_update(lo, hi, flo, fhi, t, f, sig):
+    """One safeguarded Newton + Illinois step — THE canonical copy, shared
+    by this module's XLA solvers and (via kernels/pathtrace) the dense and
+    grid Pallas kernels, so a solver fix cannot silently miss one of them.
+    f = tau(t) - target and sig = dtau/dt at t; returns the updated
+    (lo, hi, flo, fhi, t_next).  The regula-falsi fallback fixes the
+    flat-region tail that plain bisection fallbacks converge through at
+    1 bit/iter; unclamped Illinois (FALSI_MARGIN above): clipping away
+    from the edges blocked roots near an edge."""
+    neg = f < 0.0
+    flo = jnp.where(neg, f, flo * 0.5)
+    fhi = jnp.where(neg, fhi * 0.5, f)
+    lo = jnp.where(neg, t, lo)
+    hi = jnp.where(neg, hi, t)
+    t_n = t - f / jnp.maximum(sig, 1e-30)
+    good = (t_n > lo) & (t_n < hi) & jnp.isfinite(t_n)
+    denom = fhi - flo
+    t_f = hi - fhi * (hi - lo) / jnp.where(
+        jnp.abs(denom) > 1e-30, denom, 1e-30)
+    t_f = jnp.clip(t_f, lo, hi)
+    return lo, hi, flo, fhi, jnp.where(good, t_n, t_f)
 
 
 def _safeguarded_newton(rg, target, t_lo, t_hi, iters, use_newton=True):
@@ -77,24 +99,15 @@ def _safeguarded_newton(rg, target, t_lo, t_hi, iters, use_newton=True):
     def body(_, state):
         lo, hi, flo, fhi, t = state
         f = tau_up_to(rg, t) - target
+        if use_newton:
+            return illinois_update(lo, hi, flo, fhi, t, f,
+                                   sigma_t_at(rg, None, t))
         neg = f < 0.0
         flo_n = jnp.where(neg, f, flo * 0.5)
         fhi_n = jnp.where(neg, fhi * 0.5, f)
         lo = jnp.where(neg, t, lo)
         hi = jnp.where(neg, hi, t)
-        if use_newton:
-            deriv = sigma_t_at(rg, None, t)
-            t_n = t - f / jnp.maximum(deriv, 1e-30)
-            ok = (t_n > lo) & (t_n < hi) & jnp.isfinite(t_n)
-            denom = fhi_n - flo_n
-            t_f = hi - fhi_n * (hi - lo) / jnp.where(
-                jnp.abs(denom) > 1e-30, denom, 1e-30)
-            t_f = jnp.clip(t_f, lo + FALSI_MARGIN * (hi - lo),
-                           hi - FALSI_MARGIN * (hi - lo))
-            t = jnp.where(ok, t_n, t_f)
-        else:
-            t = 0.5 * (lo + hi)
-        return lo, hi, flo_n, fhi_n, t
+        return lo, hi, flo_n, fhi_n, 0.5 * (lo + hi)
 
     lo, hi, _, _, t = jax.lax.fori_loop(0, iters, body,
                                         (lo, hi, flo, fhi, t))
@@ -119,12 +132,10 @@ def _analytic_single(rg: RayGaussians, target):
     target_erf = target / jnp.maximum(pref, 1e-30) + erf_t0
     # guards mirroring gaussian.h:273-281
     one_eps = 1.0 - 1e-6
-    inside = (target_erf > -one_eps) & (target_erf < one_eps)
     arg = jax.lax.erf_inv(jnp.clip(target_erf, -one_eps, one_eps))
     t = (arg / jnp.maximum(fs, 1e-30) - b) / (2.0 * jnp.maximum(a, 1e-30))
     t = jnp.where(target_erf >= one_eps, t1, t)
     t = jnp.where(target_erf <= -one_eps, t0, t)
-    del inside  # guards already applied via the clamped erf argument
     valid = jnp.isfinite(t) & (pref > 0.0)
     return jnp.clip(t, t0, t1), valid
 
@@ -249,12 +260,11 @@ def _sff_fwd(rg, target):
 def _sff_bwd(res, g):
     rg, target, t = res
     sigma = jnp.maximum(sigma_t_at(rg, None, t), 1e-12)
-    # dtau/dtheta at fixed t, via VJP of tau_up_to
+    # dtau/dtheta at fixed t, via VJP of tau_up_to (t is closed over, so
+    # the VJP only sees the scene parameters — no t-cotangent exists)
     _, vjp = jax.vjp(lambda r: tau_up_to(r, t), rg)
     scale = -g / sigma
     (g_rg,) = vjp(scale)
-    # kill the spurious cotangent tau_up_to produces for its t argument
-    # (t is held fixed in the implicit derivative)
     g_target = g / sigma
     return g_rg, g_target
 

@@ -164,6 +164,22 @@ def test_grid_free_flight_matches_dense_root(scene, grid, rays):
                                rtol=5e-3, atol=5e-3)
 
 
+def test_grid_free_flight_u_tau_zero_scatters_with_albedo(scene, grid,
+                                                          rays):
+    """u_tau == 0 (target tau 0, drawn with prob 2^-23 per bounce) must
+    still scatter with a REAL albedo: without the tiny target floor the
+    critical slot is crossing 0, whose cell may be empty — a dead solve
+    block returned t_sc = 0 / albedo = 0 and the path was killed, while
+    the dense engine scatters at the medium entry and continues."""
+    o, d = rays
+    u = jnp.zeros(o.shape[0], jnp.float32)
+    t_g, sc_g, alb_g, tau_tot = grid_free_flight(grid, o, d, u, 16, True)
+    sc = np.asarray(sc_g) & (np.asarray(tau_tot) > 1e-6)
+    assert sc.any()
+    assert (np.asarray(alb_g)[sc] > 0.0).all()
+    assert (np.asarray(t_g)[sc] > 0.0).all()
+
+
 def test_grid_wavefront_matches_xla_engine(scene, grid):
     """Full-engine equivalence: same RNG streams, same estimator — images
     agree in the mean (per-pixel diffs are chaotic MC divergence)."""
