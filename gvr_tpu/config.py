@@ -100,6 +100,19 @@ class RenderConfig:
     # force.  The grid engine is the BVH replacement (gmm.h:231-578).
     engine: str = "auto"
 
+    def __post_init__(self):
+        # a typo'd flavor string would otherwise silently select a
+        # different code path (e.g. wavefront='Mega' -> step, ~25% slower)
+        if self.wavefront not in ("mega", "step"):
+            raise ValueError(f"wavefront must be 'mega' or 'step', "
+                             f"got {self.wavefront!r}")
+        if self.pallas not in ("auto", "on", "off", "interpret"):
+            raise ValueError(f"pallas must be 'auto'/'on'/'off'/"
+                             f"'interpret', got {self.pallas!r}")
+        if self.engine not in ("auto", "dense", "grid"):
+            raise ValueError(f"engine must be 'auto'/'dense'/'grid', "
+                             f"got {self.engine!r}")
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 
@@ -112,7 +125,13 @@ class FitConfig:
     max_iters: int = 1000
     save_every: int = 25
     lr: float = 1e-2
-    spp: int = 16
-    num_stoch_samples: int = 4     # SFD validation mode only
+    # MC gradient samples per pixel per loss buffer (fit_gaussians).  The
+    # reference re-renders whole frames at the integrator's spp per SFD
+    # sample; pathwise autodiff gradients need far fewer samples.
+    spp: int = 2
+    # Rademacher perturbations per iteration for the SFD validation mode —
+    # pass to inverse/sfd.sfd_gradient* (reference SFDDConfig default)
+    num_stoch_samples: int = 4
     checkpoint_every: int = 100
     out_dir: str = "./fit_output"
+    seed: int = 0                  # minibatch + MC stream base seed

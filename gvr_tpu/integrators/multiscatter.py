@@ -198,15 +198,17 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
         return path_uniforms(rng_ids, sample, bounce, n, seed)
 
     def body(state, bounce):
-        o, d, thr, rad, alive, n_over = state
+        o, d, thr, rad, alive, n_over, n_live = state
         rg = tau_coeffs(gmm, o, d)
         if use_compact:
             rg, alb_k, overflow = compact_candidates(rg, gmm.albedo,
                                                      candidate_k)
             # bias honesty (the forward path got this in round 2): count
             # live lanes whose hit set exceeded k — their dropped
-            # candidates silently bias gradients at dense scenes
+            # candidates silently bias gradients at dense scenes — plus
+            # the live-lane denominator (dead lanes would dilute the rate)
             n_over = n_over + jnp.sum((overflow & alive).astype(jnp.int32))
+            n_live = n_live + jnp.sum(alive.astype(jnp.int32))
         xi = uniforms(bounce)
 
         tau_tot = tau_total(rg)
@@ -251,14 +253,14 @@ def multiscatter_radiance_diff(scene: Scene, origin, direction, rng_ids,
         new_d = _dir_from_xi(xi[:, 6:8])
         o = jnp.where(alive_n[:, None], pos, o)
         d = jnp.where(alive_n[:, None], new_d, d)
-        return (o, d, thr, rad, alive_n, n_over), None
+        return (o, d, thr, rad, alive_n, n_over, n_live), None
 
     state = (origin, direction, jnp.ones((b, 3)), jnp.zeros((b, 3)),
-             jnp.ones((b,), bool), jnp.int32(0))
-    (o, d, thr, rad, alive, n_over), _ = jax.lax.scan(
+             jnp.ones((b,), bool), jnp.int32(0), jnp.int32(0))
+    (o, d, thr, rad, alive, n_over, n_live), _ = jax.lax.scan(
         body, state, jnp.arange(n_bounces))
     if return_overflow:
-        return rad, n_over
+        return rad, (n_over, n_live)
     return rad
 
 
@@ -272,6 +274,19 @@ def strat_n(spp: int) -> int:
     return n if n * n == spp else 1
 
 
+def strat_uv(x, y, sample_idx, n_strat, w, h, xi0, xi1):
+    """Stratified sub-pixel sample position (integrator.h:562-566): cell
+    (s % n, (s // n) % n) plus RNG jitter, normalized to [0,1).  THE
+    single XLA-side copy of this arithmetic — the megakernel re-derives
+    it in-register (kernels/megatrace.make_ray) and is held bit-compatible
+    by the spp=9 mega==step==XLA equivalence test."""
+    sx = (sample_idx % n_strat).astype(jnp.float32)
+    sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
+    u = (x.astype(jnp.float32) + (sx + xi0) / n_strat) / w
+    v = (y.astype(jnp.float32) + (sy + xi1) / n_strat) / h
+    return u, v
+
+
 def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
     """Stratified primary rays for MC integrators (integrator.h:557-570):
     n = int(sqrt(spp)); cell (si % n, si // n); hash-RNG jitter (the
@@ -279,11 +294,8 @@ def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
     w, h = cfg.width, cfg.height
     x, y = ids_to_pixels(ids, w)
     xi = path_uniforms(ids, sample_idx, 0x7FFF0000, 2, cfg.seed)
-    n = strat_n(cfg.spp)
-    sx = (sample_idx % n).astype(jnp.float32)
-    sy = ((sample_idx // n) % n).astype(jnp.float32)
-    u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n) / w
-    v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n) / h
+    u, v = strat_uv(x, y, sample_idx, strat_n(cfg.spp), w, h,
+                    xi[:, 0], xi[:, 1])
     o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
     return o, d, ids
 
@@ -368,10 +380,7 @@ def _wavefront_planes_step(scene: Scene, camera, cfg: RenderConfig, ids,
     def make_ray(sample_idx):
         xi = planes_uniforms(ids2, sample_idx, 0x7FFF0000, 2, cfg.seed,
                              interp)
-        sx = (sample_idx % n_strat).astype(jnp.float32)
-        sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
-        u = (x.astype(jnp.float32) + (sx + xi[0]) / n_strat) / w
-        v = (y.astype(jnp.float32) + (sy + xi[1]) / n_strat) / h
+        u, v = strat_uv(x, y, sample_idx, n_strat, w, h, xi[0], xi[1])
         return camera.sample_ray_planes(u, v)
 
     def cond(state):
@@ -483,8 +492,7 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     use_pallas = _pallas_enabled(cfg)
     use_big = False
     if use_pallas:
-        from gvr_tpu.kernels.pathtrace import (
-            pack_table, bounce_step_pallas, pallas_supported_n)
+        from gvr_tpu.kernels.pathtrace import pallas_supported_n
         use_big = not pallas_supported_n(gmm.n)
         if use_big:
             from gvr_tpu.kernels.pathtrace_big import (
@@ -514,10 +522,8 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     # draw so it never collides with a bounce index.
     def make_ray(sample_idx):
         xi = path_uniforms(ids, sample_idx, 0x7FFF0000, 2, cfg.seed)
-        sx = (sample_idx % n_strat).astype(jnp.float32)
-        sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
-        u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n_strat) / w
-        v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n_strat) / h
+        u, v = strat_uv(x, y, sample_idx, n_strat, w, h,
+                        xi[:, 0], xi[:, 1])
         o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
         return o, d
 
@@ -544,14 +550,13 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
         xi = path_uniforms(ids, jnp.maximum(sample, 1) - 1, bounce, 9,
                            cfg.seed)
         if use_pallas:
-            step_fn = bounce_step_pallas_big if use_big else \
-                bounce_step_pallas
-            t_sc, scattered, albedo, li, _ = step_fn(
+            # small-N rays returned via the lane-plane paths above, so the
+            # Pallas path here is always the big-N kernel (pure Newton —
+            # no finisher knob)
+            t_sc, scattered, albedo, li, _ = bounce_step_pallas_big(
                 table, o, d, xi, lights_t, inten_t, env_t,
                 solver_iters=cfg.solver_iters,
-                interpret=(cfg.pallas == "interpret"),
-                # the big kernel is pure Newton and has no finisher knob
-                **({} if use_big else {"finisher": cfg.solver_finisher}))
+                interpret=(cfg.pallas == "interpret"))
             w_ne = w_ne_pallas
             pos = o + t_sc[:, None] * d
         else:

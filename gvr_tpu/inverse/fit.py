@@ -81,6 +81,9 @@ def fit_loss(params, scene_template: Scene, origin, direction, rng_ids,
     err = rad - target
     if loss == "l2":
         return jnp.mean(err * err)
+    if loss != "l1":
+        raise ValueError(f"loss must be 'l2_dual', 'l2' or 'l1', "
+                         f"got {loss!r}")
     return jnp.mean(jnp.abs(err))
 
 
@@ -97,23 +100,36 @@ def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
                   cfg: FitConfig = FitConfig(),
                   batch_pixels: int = 4096,
                   n_bounces: int = 4,
-                  spp: int = 2,
+                  spp: Optional[int] = None,
                   mesh=None,
                   log: Callable = print,
                   save_snapshot: Optional[Callable] = None,
                   candidate_k: int = 0,
-                  rr_after: int = 0) -> Scene:
+                  rr_after: int = 0,
+                  resume: Optional[str] = None) -> Scene:
     """Run the Adam fit.  Returns the optimized scene.
 
     target_img: [H,W,3] float.  save_snapshot(iteration, scene) optional.
+    spp defaults to cfg.spp (MC gradient samples per pixel per buffer).
     candidate_k > 0 compacts the differentiable solver to the k
     nearest-entering Gaussians per ray (the big-scene scaling lever);
     rr_after > 0 enables Russian roulette from that bounce on.
+    resume: path to a ckpt.npz written by this function — restores
+    params/opt state and continues from the saved iteration (the
+    per-iteration RNG streams are derived from (cfg.seed, it), so the
+    resumed run draws the same batches the uninterrupted run would).
     """
     h, w = target_img.shape[:2]
+    spp = cfg.spp if spp is None else spp
     params = scene_init.medium.pack_parameters()
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
+    start_iter = 0
+    if resume is not None and os.path.exists(resume):
+        st = load_checkpoint(resume, optimizer, params)
+        params, opt_state = st.params, st.opt_state
+        start_iter = st.iteration + 1  # checkpoints hold POST-update state
+        log(f"[fit] resumed {resume} at iteration {start_iter}")
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     batch_pixels = shard_rays(batch_pixels, n_dev)
@@ -138,40 +154,45 @@ def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
         # mirrors the forward path's round-2 overflow honesty)
         @jax.jit
         def overflow_probe(p, template, o, d, rng_ids, seed):
-            from gvr_tpu.integrators.multiscatter import (
-                multiscatter_radiance_diff)
             gmm = GaussianMixture.from_parameters(p)
-            _, n_over = multiscatter_radiance_diff(
+            _, counts = multiscatter_radiance_diff(
                 template.with_medium(gmm), o, d, rng_ids, None,
                 n_bounces=n_bounces, seed=seed, candidate_k=candidate_k,
                 rr_after=rr_after, return_overflow=True)
-            return n_over
+            return counts
 
-    rng = np.random.default_rng(0)
     t0 = time.time()
     os.makedirs(cfg.out_dir, exist_ok=True)
 
-    for it in range(cfg.max_iters):
-        ids = jnp.asarray(
-            rng.integers(0, w * h, batch_pixels, dtype=np.int32))
+    for it in range(start_iter, cfg.max_iters):
+        # per-iteration derived stream (not one sequential generator):
+        # reproducible under resume without replaying prior draws
+        ids = jnp.asarray(np.random.default_rng(
+            (cfg.seed << 20) + it).integers(0, w * h, batch_pixels,
+                                            dtype=np.int32))
         o, d, rng_ids = _pixel_rays(camera, w, h, ids)
         tgt = target_flat[ids]
         # per-iteration seed as a (shardable) per-ray array
         seed_arr = jnp.full(batch_pixels, it, jnp.uint32)
+
+        over = ""
+        if candidate_k > 0 and it % cfg.save_every == 0:
+            # probe with THIS step's params + streams (pre-update), so the
+            # number is the overflow of the gradients actually applied,
+            # over live lanes only
+            n_over, n_live = (int(v) for v in overflow_probe(
+                params, scene_init, o, d, rng_ids, seed_arr))
+            frac = n_over / max(n_live, 1)
+            over = f" cand-overflow {frac:.2%} ({n_live} live lanes)"
+            if frac > 0.01:
+                log(f"[fit] WARNING: {frac:.2%} of live lanes dropped "
+                    f"candidates (candidate_k={candidate_k} too small "
+                    f"— gradients are biased)")
+
         params, opt_state, loss = step(params, opt_state, scene_init,
                                        o, d, rng_ids, tgt, seed_arr)
 
         if it % cfg.save_every == 0:
-            over = ""
-            if candidate_k > 0:
-                n_over = int(overflow_probe(params, scene_init, o, d,
-                                            rng_ids, it))
-                frac = n_over / (batch_pixels * n_bounces)
-                over = f" cand-overflow {frac:.2%}"
-                if frac > 0.01:
-                    log(f"[fit] WARNING: {frac:.2%} of lanes dropped "
-                        f"candidates (candidate_k={candidate_k} too small "
-                        f"— gradients are biased)")
             log(f"[fit] iter {it} loss {float(loss):.5f} "
                 f"elapsed {time.time() - t0:.1f}s{over}")
             if save_snapshot is not None:

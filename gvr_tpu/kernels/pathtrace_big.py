@@ -86,52 +86,13 @@ def pack_table_t(gmm: GaussianMixture):
 
 
 def _chunk_quants(tabc_ref, rays_ref):
-    """Per-(ray, gaussian-in-chunk) quantities, shapes [BLK, G]."""
-    row = lambda f: tabc_ref[f:f + 1, :]                 # [1, G]
+    """Per-(ray, gaussian-in-chunk) quantities, shapes [BLK, G] — the
+    ray columns come from the packed rays block (one source of truth:
+    _chunk_quants_dir below holds the math for both this primary pass
+    and the NEE transmittance pass)."""
     colr = lambda f: rays_ref[:, f:f + 1]                # [BLK, 1]
-    ox, oy, oz = colr(0), colr(1), colr(2)
-    dx, dy, dz = colr(3), colr(4), colr(5)
-
-    ic0, ic1, ic2 = row(0), row(1), row(2)
-    ic3, ic4, ic5 = row(3), row(4), row(5)
-    qx, qy, qz = row(6), row(7), row(8)
-    dens_norm = row(10)
-    valid_g = row(12)
-    mx, my, mz = row(13), row(14), row(15)
-
-    def bil(ux, uy, uz, vx, vy, vz):
-        return (ux * vx * ic0 + uy * vy * ic1 + uz * vz * ic2
-                + (ux * vy + uy * vx) * ic3
-                + (ux * vz + uz * vx) * ic4
-                + (uy * vz + uz * vy) * ic5)
-
-    a = bil(dx, dy, dz, dx, dy, dz)
-    d_q = dx * qx + dy * qy + dz * qz
-    b = 2.0 * (bil(ox, oy, oz, dx, dy, dz) - d_q)
-
-    a_s = jnp.maximum(a, 1e-30)
-    t_star = -b / (2.0 * a_s)
-    vx = ox - mx + t_star * dx
-    vy = oy - my + t_star * dy
-    vz = oz - mz + t_star * dz
-    m2 = (vx * vx * ic0 + vy * vy * ic1 + vz * vz * ic2
-          + 2.0 * (vx * vy * ic3 + vx * vz * ic4 + vy * vz * ic5))
-    m2 = jnp.maximum(m2, 0.0)
-    gap = (R_CUT * R_CUT - m2) / a_s
-    half = jnp.sqrt(jnp.where(gap > 0.0, gap, 0.0))
-    t1 = t_star + half
-    t0 = jnp.maximum(t_star - half, 0.0)
-    ok = (gap > 0.0) & (t1 >= 0.0) & (valid_g > 0.0)
-
-    sa = jnp.sqrt(a_s)
-    zoff = b * (0.5 / sa)
-    peak = dens_norm * jnp.exp(-0.5 * m2)
-    pref = jnp.where(ok, peak * jnp.sqrt(jnp.pi / (2.0 * a_s)), 0.0)
-    erf_lo = _erf((sa * t0 + zoff) * SQRT_HALF)
-    erf_hi = _erf((sa * t1 + zoff) * SQRT_HALF)
-    tau_i = pref * (erf_hi - erf_lo)
-    alb = row(11) * jnp.ones_like(a)
-    return sa, zoff, peak, pref, erf_lo, tau_i, t0, t1, ok, alb
+    return _chunk_quants_dir(tabc_ref, colr(0), colr(1), colr(2),
+                             colr(3), colr(4), colr(5))
 
 
 def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
@@ -308,8 +269,10 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
             out_ref[:, 12:13] = wy
             out_ref[:, 13:14] = wz
             out_ref[:, 14:15] = tmax
-            out_ref[:, 15:16] = jnp.where(
-                is_env, -1.0, radx)            # marker + light radiance x
+            # explicit env flag (col 3): an in-band radx<0 sentinel would
+            # misclassify lights with a negative red component as env rays
+            out_ref[:, 3:4] = is_env.astype(jnp.float32)
+            out_ref[:, 15:16] = radx
             out_ref[:, 16:17] = rady
             out_ref[:, 17:18] = radz
             out_ref[:, 18:19] = inv_d2
@@ -349,7 +312,7 @@ def _make_nee_kernel(env_color, n_chunks):
             rady = colr(16)
             radz = colr(17)
             inv_d2 = colr(18)
-            is_env = radx < 0.0
+            is_env = colr(3) > 0.5
             lix = jnp.where(is_env, tr * (env_color[0] * FOUR_PI),
                             tr * radx * inv_d2)
             liy = jnp.where(is_env, tr * (env_color[1] * FOUR_PI),

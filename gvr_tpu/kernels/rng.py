@@ -84,6 +84,7 @@ def _make_kernel(n, seed_mix, seed_raw, static_bounce):
 @functools.partial(jax.jit, static_argnames=("n", "seed", "static_bounce",
                                              "interpret"))
 def _uniforms_call(pid, sample, bounce, n, seed, static_bounce, interpret):
+    from gvr_tpu.kernels.pathtrace import _VMEM_LIMIT
     r, l = pid.shape
     sd = seed & 0xFFFFFFFF
     kernel = _make_kernel(n, _mix32_py(sd), sd, static_bounce)
@@ -106,6 +107,10 @@ def _uniforms_call(pid, sample, bounce, n, seed, static_bounce, interpret):
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
+        # the single block scales with the ray chunk (n*r*128 f32 output
+        # plus temporaries): raise the scoped-VMEM cap like every other
+        # kernel (default is 16 MB; see CLAUDE.md)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(pid, sample, bounce)
 
 

@@ -101,7 +101,7 @@ def _safeguarded_newton(rg, target, t_lo, t_hi, iters, use_newton=True):
         f = tau_up_to(rg, t) - target
         if use_newton:
             return illinois_update(lo, hi, flo, fhi, t, f,
-                                   sigma_t_at(rg, None, t))
+                                   sigma_t_at(rg, t))
         neg = f < 0.0
         flo_n = jnp.where(neg, f, flo * 0.5)
         fhi_n = jnp.where(neg, fhi * 0.5, f)
@@ -259,7 +259,7 @@ def _sff_fwd(rg, target):
 
 def _sff_bwd(res, g):
     rg, target, t = res
-    sigma = jnp.maximum(sigma_t_at(rg, None, t), 1e-12)
+    sigma = jnp.maximum(sigma_t_at(rg, t), 1e-12)
     # dtau/dtheta at fixed t, via VJP of tau_up_to (t is closed over, so
     # the VJP only sees the scene parameters — no t-cotangent exists)
     _, vjp = jax.vjp(lambda r: tau_up_to(r, t), rg)

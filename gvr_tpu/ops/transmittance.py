@@ -74,11 +74,11 @@ def min_mahalanobis_sq(gmm: GaussianMixture, origin, direction, a, b):
     return jnp.maximum(jnp.sum(feats * ic, axis=-1), 0.0), t_star
 
 
-def tau_coeffs(gmm: GaussianMixture, origin, direction) -> RayGaussians:
-    """Precompute everything needed for tau/transmittance along rays.
-
-    Interval and exponent derive from the cancellation-free closest-approach
-    form: t0/t1 = t* -/+ sqrt((R^2 - m2)/a), expo = -m2/2."""
+def _interval_pref(gmm: GaussianMixture, origin, direction):
+    """Clipped support interval + erf prefactors per (ray, gaussian) pair
+    — the single derivation behind tau_coeffs and the lean NEE path
+    (transmittance_up_to below).  Cancellation-free closest-approach form:
+    t0/t1 = t* -/+ sqrt((R^2 - m2)/a), exponent -m2/2."""
     a, b = ray_quadratics_ab(gmm, origin, direction)
     a_safe = jnp.maximum(a, 1e-30)
     m2, t_star = min_mahalanobis_sq(gmm, origin, direction, a, b)
@@ -87,10 +87,16 @@ def tau_coeffs(gmm: GaussianMixture, origin, direction) -> RayGaussians:
     t1 = t_star + half
     t0 = jnp.maximum(t_star - half, 0.0)
     hit = (gap > 0.0) & (t1 >= 0.0)
-    expo = -0.5 * m2
-    peak = gmm.density * gmm.norm * jnp.exp(expo)
+    peak = gmm.density * gmm.norm * jnp.exp(-0.5 * m2)
     pref = peak * jnp.sqrt(jnp.pi / (2.0 * a_safe))
     fscale = 1.0 / (2.0 * jnp.sqrt(2.0 * a_safe))
+    return a, b, t0, t1, hit, peak, pref, fscale
+
+
+def tau_coeffs(gmm: GaussianMixture, origin, direction) -> RayGaussians:
+    """Precompute everything needed for tau/transmittance along rays."""
+    a, b, t0, t1, hit, peak, pref, fscale = _interval_pref(
+        gmm, origin, direction)
     erf_lo = jax.lax.erf((b + 2.0 * a * t0) * fscale)
     erf_hi = jax.lax.erf((b + 2.0 * a * t1) * fscale)
     tau_i = jnp.where(hit, pref * (erf_hi - erf_lo), 0.0)
@@ -126,13 +132,10 @@ def tau_total(rg: RayGaussians):
     return jnp.sum(jnp.where(rg.hit, rg.tau_i, 0.0), axis=-1)
 
 
-def sigma_t_at(rg: RayGaussians, gmm: GaussianMixture, t):
+def sigma_t_at(rg: RayGaussians, t):
     """d tau_total / dt at t: sum of extinctions of Gaussians whose interval
-    contains t.  Extinction along the ray is peak * exp(-0.5*(2At^2... ) —
-    expressed via the completed square: density*norm*exp(-0.5 quad(t)) =
-    peak * exp(-A (t + B/(2A))^2 / ... ).  We use the stable form
+    contains t, in the stable completed-square form
     peak * exp(-(sqrt(A) t + B/(2 sqrt(A)))^2 / 2)."""
-    del gmm  # extinction is fully determined by rg
     rho, inside = extinction_at(rg, t)
     return jnp.sum(jnp.where(inside, rho, 0.0), axis=-1)
 
@@ -142,17 +145,8 @@ def transmittance_up_to(gmm: GaussianMixture, origin, direction, tmax):
 
     Replaces ``transmittance_up_to_naive/BVH`` (gmm.h:207-226, 517-578).
     One-shot lean path (two erfs per pair) for NEE shadow/env rays."""
-    a, b = ray_quadratics_ab(gmm, origin, direction)
-    a_safe = jnp.maximum(a, 1e-30)
-    m2, t_star = min_mahalanobis_sq(gmm, origin, direction, a, b)
-    gap = (R_CUT * R_CUT - m2) / a_safe
-    half = jnp.sqrt(jnp.where(gap > 0.0, gap, 0.0))
-    t1 = t_star + half
-    lo = jnp.maximum(t_star - half, 0.0)
-    hit = (gap > 0.0) & (t1 >= 0.0)
-    pref = (gmm.density * gmm.norm * jnp.exp(-0.5 * m2)
-            * jnp.sqrt(jnp.pi / (2.0 * a_safe)))
-    fscale = 1.0 / (2.0 * jnp.sqrt(2.0 * a_safe))
+    a, b, lo, t1, hit, _, pref, fscale = _interval_pref(
+        gmm, origin, direction)
     tmax = jnp.asarray(tmax, jnp.float32)
     tt = tmax[..., None] if tmax.ndim < t1.ndim else tmax
     hi = jnp.minimum(t1, tt)

@@ -110,7 +110,7 @@ def test_sigma_t_is_tau_derivative(rng):
     for t in [1.0, 3.0]:
         num = (np.asarray(tau_up_to(rg, jnp.float32(t + eps)))
                - np.asarray(tau_up_to(rg, jnp.float32(t - eps)))) / (2 * eps)
-        ana = np.asarray(sigma_t_at(rg, gm, jnp.float32(t)))
+        ana = np.asarray(sigma_t_at(rg, jnp.float32(t)))
         np.testing.assert_allclose(ana, num, rtol=5e-2, atol=5e-3)
 
 
