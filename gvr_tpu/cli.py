@@ -74,6 +74,9 @@ def cmd_render(args):
     else:
         raise SystemExit(f"unknown integrator {args.integrator}")
     print(f"Render time: {time.time() - t0:.3f} seconds")
+    if stats is not None and not stats.spans:
+        print("[render] note: --stats/--trace are only instrumented for "
+              "--integrator multiscatter")
     if stats is not None and stats.spans:
         print(stats.report())
     write_ppm(args.output, img)
@@ -84,6 +87,12 @@ def cmd_animate(args):
     from gvr_tpu.scene.scene import load_scene
     from gvr_tpu.config import RenderConfig
     from gvr_tpu.io.turntable import render_turntable
+
+    if (args.camera, tuple(args.pos), args.fov) != \
+            ("pinhole", (0.0, 1.0, 6.0), 45.0):
+        print("[animate] note: --camera/--pos/--fov are ignored; the "
+              "turntable uses the reference orbit camera "
+              "(orthographic, tests/main.cpp:95-103)")
 
     scene = load_scene(args.scene)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
@@ -108,7 +117,12 @@ def cmd_fit(args):
     camera = make_camera(args)
     target = read_ppm(args.target)
     cfg = FitConfig(max_iters=args.iters, lr=args.lr,
-                    save_every=args.save_every, out_dir=args.output)
+                    save_every=args.save_every, out_dir=args.output,
+                    seed=args.seed)
+    if (args.width, args.height) != (512, 512):
+        print("[fit] note: --width/--height are ignored; the fit "
+              f"resolution comes from the target image "
+              f"({target.shape[1]}x{target.shape[0]})")
 
     def snapshot(it, sc):
         rc = RenderConfig(width=target.shape[1], height=target.shape[0],

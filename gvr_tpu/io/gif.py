@@ -111,7 +111,11 @@ def palette_indices(u8: np.ndarray, pal: np.ndarray) -> np.ndarray:
     32768 x 256 distance table per frame, then a pure table lookup)."""
     grid = np.stack(np.meshgrid(*([np.arange(32)] * 3), indexing="ij"),
                     axis=-1).reshape(-1, 3).astype(np.float32) * 8.0 + 4.0
-    d = ((grid[:, None, :] - pal[None].astype(np.float32)) ** 2).sum(-1)
+    # |g-p|^2 = |g|^2 - 2 g.p + |p|^2 via one [32768,3]@[3,256] matmul:
+    # ~32 MB peak instead of the ~100 MB [32768,256,3] broadcast temporary
+    palf = pal.astype(np.float32)
+    d = ((grid * grid).sum(-1, keepdims=True) - 2.0 * (grid @ palf.T)
+         + (palf * palf).sum(-1)[None])
     lut = d.argmin(axis=1).astype(np.uint8)                   # [32768]
     q = (u8 >> 3).astype(np.int32)
     return lut[(q[..., 0] << 10) | (q[..., 1] << 5) | q[..., 2]]
@@ -131,14 +135,6 @@ def _palette_676():
     grid = np.stack(np.meshgrid(r, g, b, indexing="ij"), axis=-1).reshape(-1, 3)
     pal[: grid.shape[0]] = grid
     return pal
-
-
-def _quantize_676(img_u8: np.ndarray) -> np.ndarray:
-    """uint8 [H,W,3] -> palette indices [H,W] in the 6x7x6 cube."""
-    r = (img_u8[..., 0].astype(np.uint16) * 5 + 127) // 255
-    g = (img_u8[..., 1].astype(np.uint16) * 6 + 127) // 255
-    b = (img_u8[..., 2].astype(np.uint16) * 5 + 127) // 255
-    return (r * 42 + g * 6 + b).astype(np.uint8)
 
 
 def _lzw_literal_stream(indices: np.ndarray) -> bytes:

@@ -96,7 +96,15 @@ def load_mitsuba(path: str):
             if fl.get("name") == "radius":
                 radius = float(fl.get("value"))
         ref = shape.find("ref")
-        med = media.get(ref.get("id")) if ref is not None else (0.0, 1.0)
+        if ref is not None:
+            med = media.get(ref.get("id"))
+            if med is None:
+                raise ValueError(
+                    f"sphere references undefined medium id "
+                    f"{ref.get('id')!r} (declared media: "
+                    f"{sorted(media)})")
+        else:
+            med = (0.0, 1.0)
         centers.append(c)
         radii.append(radius)
         sa.append(med[0])

@@ -47,6 +47,10 @@ def decode_ppm(data: bytes) -> np.ndarray:
         vals.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError(
+            f"P6 maxval {maxval} uses 2 bytes/sample — only 8-bit PPMs "
+            f"are supported (reference image.h writes maxval 255)")
     raw = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
     return (raw.reshape(h, w, 3).astype(np.float32)) / float(maxval)
 

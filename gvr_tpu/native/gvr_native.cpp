@@ -59,8 +59,13 @@ int gvr_read_ppm_data(const char* path, float* out, int n) {
     if (!f) return -1;
     int w, h, maxval;
     if (read_ppm_header(f, &w, &h, &maxval) != 0) { fclose(f); return -1; }
+    // only 8-bit P6 (maxval > 255 means 2 bytes/sample — reject, don't
+    // decode garbage), and the caller's buffer must match these dims
+    // EXACTLY (it was sized from gvr_read_ppm; a file change between the
+    // two opens would otherwise leave the buffer tail uninitialized)
+    if (maxval > 255) { fclose(f); return -2; }
     long count = 3L * w * h;
-    if (count > n) { fclose(f); return -1; }
+    if (count != n) { fclose(f); return -1; }
     std::vector<uint8_t> buf(count);
     if (fread(buf.data(), 1, count, f) != (size_t)count) {
         fclose(f);
@@ -313,13 +318,13 @@ int gvr_parse_scene(const char* path,
         char* p = line;
         while (*p == ' ' || *p == '\t') ++p;
         if (*p == 'l' && (p[1] == ' ' || p[1] == '\t')) {
-            if (nl >= max_l) continue;
+            if (nl >= max_l) { fclose(f); return -2; }  // refuse truncation
             float* o = lights + 6L * nl;
             if (sscanf(p + 1, "%f %f %f %f %f %f",
                        &o[0], &o[1], &o[2], &o[3], &o[4], &o[5]) == 6)
                 ++nl;
         } else if (*p == 'g' && (p[1] == ' ' || p[1] == '\t')) {
-            if (ng >= max_g) continue;
+            if (ng >= max_g) { fclose(f); return -2; }
             float* o = gauss + 14L * ng;
             o[11] = o[12] = o[13] = 0.0f;  // default emission
             int got = sscanf(p + 1,
@@ -332,7 +337,7 @@ int gvr_parse_scene(const char* path,
                 ++ng;
             }
         } else if (*p == 's' && (p[1] == ' ' || p[1] == '\t')) {
-            if (ns >= max_s) continue;
+            if (ns >= max_s) { fclose(f); return -2; }
             float* o = spheres + 6L * ns;
             if (sscanf(p + 1, "%f %f %f %f %f %f",
                        &o[0], &o[1], &o[2], &o[3], &o[4], &o[5]) == 6)

@@ -95,10 +95,16 @@ def _parse_lines(text: str):
         tag = parts[0]
         if tag not in ("l", "g", "s"):
             continue
-        try:
-            vals = [float(v) for v in parts[1:]]
-        except ValueError:
-            continue
+        # greedy float prefix, trailing junk ignored: matches the
+        # reference's stream extraction (scene.h:89-115 reads exactly the
+        # floats it needs) and the native sscanf parser — a row like
+        # 'g ... 0.8 # note' keeps its 11 floats on every backend
+        vals = []
+        for v in parts[1:]:
+            try:
+                vals.append(float(v))
+            except ValueError:
+                break
         yield tag, vals
 
 

@@ -64,6 +64,25 @@ def test_parse_skips_comments_and_garbage():
     assert sc.medium.n == 1
 
 
+def test_parse_keeps_rows_with_trailing_junk(tmp_path):
+    """A row with trailing non-float tokens keeps its float prefix — the
+    reference stream-extracts exactly the floats it needs (scene.h:89-115)
+    and the native sscanf parser does the same; the Python parser must not
+    diverge by dropping the whole line (advisor round-3 finding)."""
+    text = ("g 0 0 0 0.1 0 0 0.1 0 0.1 1.0 0.5 # the core\n"
+            "g 0 1 0 0.1 0 0 0.1 0 0.1 2.0 0.25\n")
+    sc = parse_gmm(text)
+    assert sc.medium.n == 2
+    # and the native parser (if built) agrees on the same file
+    from gvr_tpu.native.loader import lib
+    nat = lib()
+    if nat is not None:
+        p = tmp_path / "junk.txt"
+        p.write_text(text)
+        g, s, l = nat.parse_scene(str(p))
+        assert g.shape[0] == 2
+
+
 def test_ppm_roundtrip_bytes(tmp_path):
     img = np.random.default_rng(0).uniform(-0.2, 1.3, (17, 23, 3)).astype(
         np.float32)
