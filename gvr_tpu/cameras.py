@@ -30,7 +30,14 @@ def _normalize(v):
 def make_frame(position, view_dir):
     position = jnp.asarray(position, jnp.float32)
     view_dir = _normalize(jnp.asarray(view_dir, jnp.float32))
-    right = _normalize(jnp.cross(view_dir, jnp.asarray(WORLD_UP)))
+    r = jnp.cross(view_dir, jnp.asarray(WORLD_UP))
+    # looking straight up/down makes cross(view, up) vanish — the
+    # reference NaNs here too (camera.h:13-16); fall back to the z axis
+    # so a vertical turntable frame renders instead of going all-NaN
+    degenerate = jnp.linalg.norm(r, axis=-1, keepdims=True) < 1e-6
+    r = jnp.where(degenerate,
+                  jnp.cross(view_dir, jnp.asarray([0.0, 0.0, 1.0])), r)
+    right = _normalize(r)
     up = _normalize(jnp.cross(right, view_dir))
     return position, view_dir, right, up
 

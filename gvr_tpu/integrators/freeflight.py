@@ -49,8 +49,8 @@ def single_scatter_radiance(scene: Scene, origin, direction, rng_ids,
                      jnp.broadcast_to(scene.env_color, pos.shape))
 
 
-def render_single_scatter(scene: Scene, camera, cfg: RenderConfig,
-                          progress=False) -> np.ndarray:
+def render_single_scatter(scene: Scene, camera,
+                          cfg: RenderConfig) -> np.ndarray:
     w, h = cfg.width, cfg.height
 
     def radiance(sc: Scene, ids, si):
@@ -61,6 +61,9 @@ def render_single_scatter(scene: Scene, camera, cfg: RenderConfig,
     chunk = pick_chunk(cfg, scene.medium.n)
     acc = np.zeros((w * h, 3), np.float32)
     for si in range(cfg.spp):
+        # one spp-slice of the padded chunk walk (integrators/common.
+        # render_chunked covers the single-pass case; this loop also
+        # carries the per-sample index si)
         for start in range(0, w * h, chunk):
             ids = np.arange(start, start + chunk, dtype=np.int32)
             ids = np.minimum(ids, w * h - 1)

@@ -31,7 +31,8 @@ import numpy as np
 from gvr_tpu.config import RenderConfig
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.ops.transmittance import (
-    tau_coeffs, tau_interval, transmittance_up_to, far_bound, any_hit)
+    tau_coeffs, transmittance_over_segment, transmittance_up_to,
+    far_bound, any_hit)
 from gvr_tpu.ops.sampling import path_uniforms
 from gvr_tpu.integrators.common import render_chunked, ids_to_pixels, pick_chunk
 
@@ -106,16 +107,17 @@ def _raymarch_gaussians_fn(cfg: RenderConfig, n_steps: int):
 
             le = jax.lax.fori_loop(0, cfg.env_samples, env_one,
                                    jnp.zeros_like(pos))
-            le = le / cfg.env_samples * FOUR_PI
+            le = le / max(cfg.env_samples, 1) * FOUR_PI  # 0 -> lights only
 
             contrib = (big_t * sigma_s)[:, None] * (li + le) * (step * INV_4PI)
             radiance_acc = radiance_acc + jnp.where(live[:, None], contrib, 0.0)
 
             # analytic per-step transmittance over the active set
             # (gmm.h:145-157 via test_integrators.h:281-287)
-            seg_tau = jnp.sum(
-                jnp.where(active, tau_interval(rg, t, t + step), 0.0), axis=-1)
-            big_t = jnp.where(live, big_t * jnp.exp(-seg_tau), big_t)
+            big_t = jnp.where(
+                live,
+                big_t * transmittance_over_segment(rg, t, t + step, active),
+                big_t)
             return big_t, radiance_acc
 
         big_t, rad = jax.lax.fori_loop(
@@ -200,8 +202,12 @@ def render_pure_raymarch(scene: Scene, camera,
     step = cfg.step_size
     t_end_max = _scene_t_end_any(scene, camera, cfg)
     n_steps = max(1, int(math.ceil(t_end_max / step)) + 1)
-    # static bound for shadow marches: scene extent + headroom
-    shadow_steps = n_steps + 8
+    # static bound for shadow/env marches: a shadow ray starts anywhere in
+    # the medium and can traverse the FULL AABB diagonal — the camera
+    # bound n_steps can be shorter (e.g. camera near a face), which would
+    # truncate the transmittance march mid-medium and brighten shadows
+    shadow_steps = max(n_steps,
+                       int(math.ceil(_medium_diag(scene.medium) / step))) + 8
 
     def radiance(sc: Scene, ids):
         medium = sc.medium
@@ -259,6 +265,21 @@ def render_pure_raymarch(scene: Scene, camera,
     img = render_chunked(scene, radiance, w * h,
                          pick_chunk(cfg, scene.medium.n * 8))
     return img.reshape(h, w, 3)
+
+
+def _medium_diag(medium) -> float:
+    """Full AABB diagonal of the medium — the longest chord any
+    shadow/env ray can traverse."""
+    if hasattr(medium, "aabbs"):
+        bmin, bmax = medium.aabbs()
+        lo = np.asarray(bmin).min(0)
+        hi = np.asarray(bmax).max(0)
+    else:
+        c = np.asarray(medium.center)
+        r = np.asarray(medium.radius)[:, None]
+        lo = (c - r).min(0)
+        hi = (c + r).max(0)
+    return float(np.linalg.norm(hi - lo))
 
 
 def _scene_t_end_any(scene, camera, cfg) -> float:
@@ -321,7 +342,7 @@ def _raymarch_spheres_fn(cfg: RenderConfig, n_steps: int):
 
             le = jax.lax.fori_loop(0, cfg.env_samples, env_one,
                                    jnp.zeros_like(pos))
-            le = le / cfg.env_samples * FOUR_PI
+            le = le / max(cfg.env_samples, 1) * FOUR_PI  # 0 -> lights only
 
             contrib = (big_t * sigma_s)[:, None] * (li + le) * (step * INV_4PI)
             rad = rad + jnp.where(live[:, None], contrib, 0.0)

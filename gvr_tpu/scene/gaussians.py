@@ -45,7 +45,8 @@ class GaussianMixture:
       eigvals   [N,3]   ascending eigenvalues of cov
       eigvecs   [N,3,3] columns are eigenvectors (rotation R with det +1)
 
-    Derived, cached on first use (not pytree leaves):
+    Derived on demand (recomputed per call; XLA hoists them out of
+    jitted loops — not pytree leaves):
       icpack    [N,6]   (ic00, ic11, ic22, ic01, ic02, ic12)
       q         [N,3]   inv_cov @ mean
       c0        [N]     mean^T inv_cov mean
@@ -102,7 +103,8 @@ class GaussianMixture:
         ev = jnp.maximum(eigvals, 1e-12)
         # inv_cov = R diag(1/ev) R^T  (more robust than jnp.linalg.inv and
         # exactly consistent with the eigendecomposition)
-        inv_cov = jnp.einsum("nij,nj,nkj->nik", eigvecs, 1.0 / ev, eigvecs)
+        inv_cov = jnp.einsum("nij,nj,nkj->nik", eigvecs, 1.0 / ev,
+                             eigvecs, precision=jax.lax.Precision.HIGHEST)
         det_cov = jnp.prod(ev, axis=-1)
         norm = (2.0 * jnp.pi) ** (-1.5) * det_cov ** (-0.5)
         return GaussianMixture(mean, cov, density, albedo, emission,
@@ -128,10 +130,15 @@ class GaussianMixture:
         emission = jnp.asarray(emission, jnp.float32).reshape(n, 3)
 
         s2 = jnp.maximum(scale_diag * scale_diag, 1e-24)
-        cov = jnp.einsum("nij,nj,nkj->nik", rotation, s2, rotation)
-        inv_cov = jnp.einsum("nij,nj,nkj->nik", rotation, 1.0 / s2, rotation)
-        det_cov = jnp.prod(s2, axis=-1)
-        norm = (2.0 * jnp.pi) ** (-1.5) * det_cov ** (-0.5)
+        cov = jnp.einsum("nij,nj,nkj->nik", rotation, s2, rotation, precision=jax.lax.Precision.HIGHEST)
+        inv_cov = jnp.einsum("nij,nj,nkj->nik", rotation, 1.0 / s2,
+                             rotation, precision=jax.lax.Precision.HIGHEST)
+        # log-space determinant: prod(s2) underflows fp32 (flushed
+        # subnormals) for collapsing fit scales ~1e-9/axis, which made
+        # norm = 0**-0.5 = inf and NaN'd gradients; exp(-0.5 sum log) is
+        # exact, differentiable, and cannot underflow before norm itself
+        norm = ((2.0 * jnp.pi) ** (-1.5)
+                * jnp.exp(-0.5 * jnp.sum(jnp.log(s2), axis=-1)))
         return GaussianMixture(mean, cov, density, albedo, emission,
                                inv_cov, norm, s2, rotation)
 
@@ -151,11 +158,11 @@ class GaussianMixture:
 
     def qvec(self):
         """[N,3] inv_cov @ mean."""
-        return jnp.einsum("nij,nj->ni", self.inv_cov, self.mean)
+        return jnp.einsum("nij,nj->ni", self.inv_cov, self.mean, precision=jax.lax.Precision.HIGHEST)
 
     def c0(self):
         """[N] mean^T inv_cov mean."""
-        return jnp.einsum("ni,ni->n", self.qvec(), self.mean)
+        return jnp.einsum("ni,ni->n", self.qvec(), self.mean, precision=jax.lax.Precision.HIGHEST)
 
     # -- pointwise evaluation --------------------------------------------------
     def evaluate(self, x):
@@ -215,7 +222,7 @@ class GaussianMixture:
     def aabbs(self):
         """World AABBs at R_CUT sigma.  Returns (bmin [N,3], bmax [N,3])."""
         extents = R_CUT * jnp.sqrt(jnp.maximum(self.eigvals, 0.0))  # [N,3]
-        h = jnp.einsum("nij,nj->ni", jnp.abs(self.eigvecs), extents)
+        h = jnp.einsum("nij,nj->ni", jnp.abs(self.eigvecs), extents, precision=jax.lax.Precision.HIGHEST)
         return self.mean - h, self.mean + h
 
     # -- parameter codec (gmm.h:583-706) ----------------------------------------
