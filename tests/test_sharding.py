@@ -102,6 +102,31 @@ def test_grid_engine_is_shard_invariant(mesh):
     np.testing.assert_allclose(img.reshape(-1, 3), ref, atol=2e-6)
 
 
+def test_mega_wavefront_is_shard_invariant(mesh):
+    """The persistent megakernel (pallas interpret, wavefront='mega')
+    under the production shard_map path must match the single-shard
+    megakernel render — the multi-chip production path runs this kernel
+    inside shard_map on real hardware."""
+    from gvr_tpu.integrators.multiscatter import (
+        render_multiscatter, _wavefront_fn, tile_order)
+
+    scene = parse_gmm(SCENE)
+    cfg = RenderConfig(width=16, height=16, spp=2, pallas="interpret",
+                       wavefront="mega")
+    img = np.asarray(render_multiscatter(scene, CAM, cfg))
+
+    lights = (tuple(tuple(float(v) for v in r)
+                    for r in np.asarray(scene.lights_p)),
+              tuple(tuple(float(v) for v in r)
+                    for r in np.asarray(scene.lights_i)),
+              tuple(float(v) for v in np.asarray(scene.env_color)))
+    ids = jnp.asarray(tile_order(16, 16))
+    single = np.asarray(_wavefront_fn(cfg, lights, 1)(scene, CAM, ids))
+    ref = np.zeros_like(single)
+    ref[np.asarray(ids)] = single
+    np.testing.assert_allclose(img.reshape(-1, 3), ref, atol=2e-6)
+
+
 def test_grid_engine_rejects_pallas_off():
     from gvr_tpu.integrators.multiscatter import engine_for
     from gvr_tpu.config import Solver
