@@ -155,3 +155,28 @@ def test_megakernel_matches_step_wavefront(rng):
     assert np.isfinite(img_mega).all()
     np.testing.assert_allclose(img_mega, img_step, atol=1e-5)
     np.testing.assert_allclose(img_mega, img_xla, atol=1e-4)
+
+
+def test_megakernel_matches_xla_deep_bounces(rng):
+    """Deep-path variant: early RR (min_scatter=1) and the two-stage RR
+    tail (rr_tail_after=3) both active within max_bounces=10 — exercises
+    the in-kernel RR/tail-cap arithmetic the short test never reaches."""
+    import dataclasses
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.integrators.multiscatter import wavefront_pixels
+
+    sc = parse_gmm(random_gaussian_scene(16, seed=9,
+                                         diameter=(0.3, 0.8),
+                                         density=(1.0, 3.0)))
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    cfg = RenderConfig(width=8, height=8, spp=4, max_bounces=10,
+                       min_scatter=1, rr_tail_after=3, rr_cap_tail=0.4,
+                       pallas="interpret", wavefront="mega")
+    ids = jnp.arange(64, dtype=jnp.int32)
+
+    img_mega = np.asarray(wavefront_pixels(sc, cam, cfg, ids))
+    cfg_xla = dataclasses.replace(cfg, pallas="off")
+    img_xla = np.asarray(wavefront_pixels(sc, cam, cfg_xla, ids))
+    assert np.isfinite(img_mega).all()
+    np.testing.assert_allclose(img_mega, img_xla, atol=1e-4)
