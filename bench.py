@@ -53,7 +53,18 @@ def main():
     # cheaper warm config (e.g. spp=1) compiles a different program and the
     # timed run would pay the full compile (observed ~2 min for the grid
     # engine) — the round-1 numbers underestimated steady state this way.
-    render_multiscatter(scene, camera, cfg)
+    try:
+        render_multiscatter(scene, camera, cfg)
+    except Exception as e:
+        if WAVEFRONT or cfg.wavefront != "mega":
+            raise
+        # megakernel failed to compile/run on this backend — fall back to
+        # the per-bounce step wavefront so the bench still reports
+        print(f"# mega wavefront failed ({type(e).__name__}); "
+              f"falling back to wavefront='step'", file=sys.stderr)
+        cfg = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
+                           wavefront="step")
+        render_multiscatter(scene, camera, cfg)
 
     t0 = time.time()
     img = render_multiscatter(scene, camera, cfg)
