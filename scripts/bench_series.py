@@ -10,8 +10,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import math
-import os
-import sys
 import time
 
 import numpy as np
@@ -34,10 +32,9 @@ def main():
     from gvr_tpu.scene.scene import load_gmm
     from gvr_tpu.cameras import PinholeCamera
     from gvr_tpu.config import RenderConfig
-    from gvr_tpu.integrators.multiscatter import render_multiscatter
+    from gvr_tpu.integrators.multiscatter import (render_multiscatter,
+                                                   engine_for)
     from gvr_tpu.utils.profiling import path_statistics
-
-    from gvr_tpu.integrators.multiscatter import engine_for
 
     camera = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
     results = []

@@ -12,7 +12,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import math
-import os
 import time
 
 import numpy as np
@@ -86,7 +85,7 @@ def main():
     t0 = time.time()
     fitted = fit_gaussians(scene_init, cam, target, cfg,
                            batch_pixels=args.batch, n_bounces=args.bounces,
-                           rr_after=args.rr_after,
+                           spp=args.spp, rr_after=args.rr_after,
                            candidate_k=args.candidate_k)
     print(f"fit time: {time.time() - t0:.1f}s")
 

@@ -57,6 +57,8 @@ def q(img):
 
 
 def run():
+    from gvr_tpu.utils.compile_cache import enable as _cc
+    _cc()
     import jax
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
           flush=True)
@@ -148,7 +150,10 @@ def write_report(rows):
         "|---|---|---|---|---|---|---|",
     ]
     for name, label, p_gold, p_self, dmean, secs in rows:
-        if p_self is None:
+        if label.startswith("FAILED"):
+            # execution failure, not a quality-bar result
+            lines.append(f"| {name} | {label} | — | — | — | — | ERROR |")
+        elif p_self is None:
             bar = "pass" if p_gold > 40.0 else "FAIL"
             lines.append(f"| {name} | {label} | {p_gold:.2f} | — | — | "
                          f"{dmean:+.4f} | {bar} (>40 dB) |")

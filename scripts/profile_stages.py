@@ -218,10 +218,18 @@ def profile_sortpath(scene_path, name, results):
             return o + 1e-9 * back.reshape(b, c)[:, :1], d
         return f
 
+    # each pipeline includes all earlier stages: store cumulative under
+    # cum_<stage> plus explicit per-stage increments (inc_<stage>), so
+    # nobody reads dda+bcast time as "the sort cost"
+    prev = rows["dda"]
     for stage in ("bcast", "sort", "stack", "unsort"):
-        rows[stage] = timed(chain(mk(stage)), o, d) / REP - base
-        print(f"sortpath {name} {stage}: "
-              f"{rows[stage] / B * 1e9:.1f} ns/ray", flush=True)
+        cum = timed(chain(mk(stage)), o, d) / REP - base
+        rows[f"cum_{stage}"] = cum
+        rows[f"inc_{stage}"] = cum - prev
+        prev = cum
+        print(f"sortpath {name} {stage}: cum {cum / B * 1e9:.1f} "
+              f"inc {rows[f'inc_{stage}'] / B * 1e9:.1f} ns/ray",
+              flush=True)
     results[f"sortpath_{name}"] = {
         "n": int(sc.medium.n), "B": B, "side": grid.side[0],
         **{k: (round(v, 6) if isinstance(v, float) else v)
@@ -272,8 +280,9 @@ def profile_grid(scene_path, name, results):
     # stage: tau + solve (one full extension step)
     def f_solve(o, d, i):
         tau, cells, t_in, t_out = grid_tau_crossings(grid, o, d)
+        # match production: RenderConfig.grid_solver_iters defaults to 6
         t_sc, scat, alb, tt = grid_solve_from_crossings(
-            grid, o, d, tau, cells, t_in, t_out, u)
+            grid, o, d, tau, cells, t_in, t_out, u, solver_iters=6)
         return o + 1e-9 * (t_sc[:, None] + alb[:, None]), d
     rows["tau_plus_solve"] = timed(chain(f_solve), o, d) / REP - base
     rows["solve_pass"] = rows["tau_plus_solve"] - rows["tau_pass_full"]
@@ -288,7 +297,17 @@ def profile_grid(scene_path, name, results):
 def main():
     from gvr_tpu.utils.compile_cache import enable as _cc
     _cc()
-    results = {"B": B, "REP": REP}
+    out = os.environ.get("PROF_OUT", "benchmarks/breakdown_r3.json")
+
+    class _Results(dict):
+        # dump after every section: a tunnel hang mid-run (documented
+        # failure mode) must not discard the already-measured sections
+        def __setitem__(self, k, v):
+            super().__setitem__(k, v)
+            with open(out, "w") as f:
+                json.dump(self, f, indent=1)
+
+    results = _Results(B=B, REP=REP)
     base = "/root/reference/scenes/gaussians"
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "dense"):
@@ -303,7 +322,6 @@ def main():
         profile_grid(f"{base}/1000_random.txt", "1000", results)
         profile_grid(f"{base}/10k_random.txt", "10k", results)
         profile_grid(f"{base}/20k_bias.txt", "20k", results)
-    out = os.environ.get("PROF_OUT", "benchmarks/breakdown_r3.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
