@@ -23,7 +23,10 @@ _ELEM_BUDGET = 1 << 25
 
 
 def pick_chunk(cfg: RenderConfig, n_primitives: int) -> int:
-    chunk = min(cfg.ray_chunk, max(1024, _ELEM_BUDGET // max(n_primitives, 1)))
+    # floor at 256 (one lane tile), NOT higher: a bigger floor would let
+    # the [chunk, N] working set outgrow the element budget at huge N
+    # (e.g. 300k gaussians -> 1024-ray floor = 11 live ~1.2 GB arrays)
+    chunk = min(cfg.ray_chunk, max(256, _ELEM_BUDGET // max(n_primitives, 1)))
     # keep it lane-friendly
     return max(256, (chunk // 256) * 256)
 

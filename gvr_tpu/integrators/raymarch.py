@@ -129,13 +129,23 @@ def _raymarch_gaussians_fn(cfg: RenderConfig, n_steps: int):
     return jax.jit(radiance)
 
 
+def _quant_steps(raw: float) -> int:
+    """ceil(raw)+1 rounded up to a multiple of 128 (see call sites)."""
+    n = max(1, int(math.ceil(raw)) + 1)
+    return ((n + 127) // 128) * 128
+
+
 def render_raymarch_gaussians(scene: Scene, camera,
                               cfg: RenderConfig) -> np.ndarray:
     """Analytic-transmittance Gaussian ray marcher
     (= RayMarchingGaussians, test_integrators.h:143)."""
     w, h = cfg.width, cfg.height
     t_end_max = _scene_t_end(scene, camera, cfg)
-    n_steps = max(1, int(math.ceil(t_end_max / cfg.step_size)) + 1)
+    # quantize the trip count up to a multiple of 128: the march masks
+    # per-ray by t_end, so extra steps are harmless — but a raw count
+    # varies with every orbit angle and caused one full recompile PER
+    # TURNTABLE FRAME (lru key is (cfg, n_steps))
+    n_steps = _quant_steps(t_end_max / cfg.step_size)
     fn = _raymarch_gaussians_fn(cfg, n_steps)
     # env sampling multiplies the [B,N] working set
     chunk = pick_chunk(cfg, scene.medium.n * 4)
@@ -363,8 +373,8 @@ def render_raymarch_spheres(scene: Scene, camera,
     """Sphere ray marcher with piecewise-constant analytic transmittance
     (= RayMarchingSpheres, test_integrators.h:11-136)."""
     w, h = cfg.width, cfg.height
-    n_steps = max(1, int(math.ceil(
-        _scene_t_end(scene, camera, cfg) / cfg.step_size)) + 1)
+    n_steps = _quant_steps(
+        _scene_t_end(scene, camera, cfg) / cfg.step_size)
     fn = _raymarch_spheres_fn(cfg, n_steps)
     img = render_chunked(scene, fn, w * h,
                          pick_chunk(cfg, scene.medium.n * 4), camera=camera)

@@ -17,6 +17,8 @@ as fixed-K tensors:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,19 +29,21 @@ from gvr_tpu.ops.quadratics import intersect_gaussians
 from gvr_tpu.integrators.common import ids_to_pixels, pick_chunk
 
 
-def pixel_gaussians(scene: Scene, camera, cfg: RenderConfig, k: int = 16):
-    """[H*W, k] int32 Gaussian indices per pixel (-1 padded, sorted by entry
-    distance) and [H*W] hit counts."""
-    w, h = cfg.width, cfg.height
-    gmm = scene.medium
-    k = min(k, gmm.n)
+def _primary_rays(camera, w, h, ids):
+    x, y = ids_to_pixels(ids, w)
+    u = (x.astype(jnp.float32) + 0.5) / w
+    v = (y.astype(jnp.float32) + 0.5) / h
+    return camera.sample_ray(jnp.stack([u, v], axis=-1))
+
+
+@functools.lru_cache(maxsize=32)
+def _pixel_gaussians_fn(w: int, h: int, k: int):
+    """Cached jitted chunk fn; scene and camera are traced pytrees, so the
+    SFD fit loop's repeated footprint calls reuse one compilation."""
 
     @jax.jit
-    def chunk(sc, ids):
-        x, y = ids_to_pixels(ids, w)
-        u = (x.astype(jnp.float32) + 0.5) / w
-        v = (y.astype(jnp.float32) + 0.5) / h
-        o, d = camera.sample_ray(jnp.stack([u, v], axis=-1))
+    def chunk(sc, camera, ids):
+        o, d = _primary_rays(camera, w, h, ids)
         t0, t1, hit = intersect_gaussians(sc.medium, o, d)
         key = jnp.where(hit, -jnp.maximum(t0, 0.0), -jnp.inf)
         _, idx = jax.lax.top_k(key, k)
@@ -48,6 +52,17 @@ def pixel_gaussians(scene: Scene, camera, cfg: RenderConfig, k: int = 16):
         count = jnp.sum(hit.astype(jnp.int32), axis=-1)
         return idx, count
 
+    return chunk
+
+
+def pixel_gaussians(scene: Scene, camera, cfg: RenderConfig, k: int = 16):
+    """[H*W, k] int32 Gaussian indices per pixel (-1 padded, sorted by entry
+    distance) and [H*W] hit counts."""
+    w, h = cfg.width, cfg.height
+    gmm = scene.medium
+    k = min(k, gmm.n)
+    fn = _pixel_gaussians_fn(w, h, k)
+
     n = w * h
     ch = pick_chunk(cfg, gmm.n)
     out_idx = np.empty((n, k), np.int32)
@@ -55,18 +70,45 @@ def pixel_gaussians(scene: Scene, camera, cfg: RenderConfig, k: int = 16):
     for start in range(0, n, ch):
         ids = np.arange(start, start + ch, dtype=np.int32)
         ids = np.minimum(ids, n - 1)
-        idx, cnt = chunk(scene, jnp.asarray(ids))
+        idx, cnt = fn(scene, camera, jnp.asarray(ids))
         stop = min(start + ch, n)
         out_idx[start:stop] = np.asarray(idx)[: stop - start]
         out_cnt[start:stop] = np.asarray(cnt)[: stop - start]
     return out_idx, out_cnt
 
 
-def gaussian_pixel_counts(scene: Scene, camera, cfg: RenderConfig,
-                          k: int = 16) -> np.ndarray:
+@functools.lru_cache(maxsize=32)
+def _hit_counts_fn(w: int, h: int):
+    @jax.jit
+    def chunk(sc, camera, ids):
+        o, d = _primary_rays(camera, w, h, ids)
+        _, _, hit = intersect_gaussians(sc.medium, o, d)
+        return jnp.sum(hit.astype(jnp.int32), axis=0)      # [N]
+
+    return chunk
+
+
+def gaussian_pixel_counts(scene: Scene, camera,
+                          cfg: RenderConfig) -> np.ndarray:
     """[N] number of pixels whose primary ray intersects each Gaussian —
-    the inverted attribution map (inverse_integrator.h:125-131)."""
-    idx, _ = pixel_gaussians(scene, camera, cfg, k)
-    flat = idx.reshape(-1)
-    flat = flat[flat >= 0]
-    return np.bincount(flat, minlength=scene.medium.n)
+    the inverted attribution map (inverse_integrator.h:125-131).  EXACT:
+    sums the full [chunk, N] hit mask per chunk (no top-k truncation —
+    a dense scene's rays can overlap far more than 16 Gaussians)."""
+    w, h = cfg.width, cfg.height
+    fn = _hit_counts_fn(w, h)
+    n = w * h
+    ch = pick_chunk(cfg, scene.medium.n)
+    counts = np.zeros(scene.medium.n, np.int64)
+    for start in range(0, n, ch):
+        ids = np.minimum(np.arange(start, start + ch, dtype=np.int32),
+                         n - 1)
+        counts += np.asarray(
+            fn(scene, camera, jnp.asarray(ids))).astype(np.int64)
+    pad = ch * ((n + ch - 1) // ch) - n
+    if pad:
+        # the last chunk repeated pixel n-1 `pad` extra times
+        single = np.asarray(fn(
+            scene, camera,
+            jnp.full((ch,), n - 1, jnp.int32))).astype(np.int64)
+        counts -= (pad * single) // ch
+    return counts

@@ -14,8 +14,10 @@ import numpy as np
 from gvr_tpu.config import RenderConfig
 from gvr_tpu.scene.scene import Scene
 from gvr_tpu.cameras import OrthographicCamera
-from gvr_tpu.integrators.raymarch import render_raymarch_gaussians
+from gvr_tpu.integrators.raymarch import (render_raymarch_gaussians,
+                                           render_raymarch_spheres)
 from gvr_tpu.integrators.multiscatter import render_multiscatter
+from gvr_tpu.scene.gaussians import GaussianMixture
 from gvr_tpu.io.gif import write_gif
 
 
@@ -33,10 +35,18 @@ def render_turntable(scene: Scene, out_path: str,
                                  radius * math.cos(angle)], np.float32)
         cam = OrthographicCamera.create(pos, lookat)
         if integrator == "raymarch":
-            img = render_raymarch_gaussians(scene, cam, cfg)
-        else:
+            # medium dispatch like cli.cmd_render — sphere scenes would
+            # crash in the gaussian marcher (missing inv_cov/norm fields)
+            is_gmm = isinstance(scene.medium, GaussianMixture)
+            img = (render_raymarch_gaussians if is_gmm
+                   else render_raymarch_spheres)(scene, cam, cfg)
+        elif integrator == "multiscatter":
             img = render_multiscatter(scene, cam, cfg)
+        else:
+            raise ValueError(f"unknown turntable integrator "
+                             f"{integrator!r} (use 'raymarch' or "
+                             f"'multiscatter')")
         frames.append(img)
         if progress:
             progress(f"Frame {frame + 1} / {num_frames} complete.")
-    write_gif(out_path, frames, delay_cs=int(100.0 / fps))
+    write_gif(out_path, frames, delay_cs=max(1, round(100.0 / fps)))

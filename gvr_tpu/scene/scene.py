@@ -97,8 +97,10 @@ def _parse_lines(text: str):
             continue
         # greedy float prefix, trailing junk ignored: matches the
         # reference's stream extraction (scene.h:89-115 reads exactly the
-        # floats it needs) and the native sscanf parser — a row like
-        # 'g ... 0.8 # note' keeps its 11 floats on every backend
+        # floats it needs) and the native sscanf parser for
+        # whitespace-separated junk — 'g ... 0.8 # note' keeps its 11
+        # floats on every backend.  (Tokens with a glued suffix like
+        # '1;' still differ: Python drops them, sscanf reads the prefix.)
         vals = []
         for v in parts[1:]:
             try:

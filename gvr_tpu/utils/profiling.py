@@ -77,12 +77,13 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
     from gvr_tpu.ops.transmittance import tau_coeffs, albedo_at_from_rg
     from gvr_tpu.ops.solvers import sample_free_flight
     from gvr_tpu.ops.sampling import path_uniforms
+    from gvr_tpu.config import Solver
     from gvr_tpu.integrators.raymarch import _dir_from_xi
 
     # the counting trace is dense [n, N]; cap n so the ~11 live arrays fit
     # comfortably in HBM at big N (16384 x 20k x 11 x 4B OOM'd a v5e)
     n_gauss = scene.medium.n
-    budget = max(1024, (3 << 25) // max(n_gauss, 1))
+    budget = max(256, (3 << 25) // max(n_gauss, 1))
     n = min(sample_pixels, budget, cfg.width * cfg.height)
 
     @jax.jit
@@ -107,8 +108,11 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
             rg = tau_coeffs(sc.medium, o, d)
             xi = path_uniforms(ids_, 0, bounce, 9, cfg.seed)
             target = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
-            t_sc, scattered = sample_free_flight(rg, target, cfg.solver,
-                                                 cfg.solver_iters)
+            # xi[:, 8] mirrors the wavefront's UNIFORM-solver draw
+            # (multiscatter.py) — without it the UNIFORM ablation asserts
+            t_sc, scattered = sample_free_flight(
+                rg, target, cfg.solver, cfg.solver_iters,
+                xi[:, 8] if cfg.solver == Solver.UNIFORM else None)
             rays = rays + jnp.sum(alive) + jnp.sum(alive & scattered)
             bounces = bounces + jnp.sum(alive & scattered)
             alive = alive & scattered

@@ -32,7 +32,7 @@ def test_pixel_attribution_separates_gaussians():
     assert (right_half == 1).sum() > 0
     assert cnt.max() >= 1
     # counts: both gaussians should cover a similar number of pixels
-    counts = gaussian_pixel_counts(sc, CAM, cfg, k=4)
+    counts = gaussian_pixel_counts(sc, CAM, cfg)
     assert counts.shape == (2,)
     assert counts.min() > 0
     assert abs(int(counts[0]) - int(counts[1])) < 0.2 * counts.max()
