@@ -173,7 +173,9 @@ def fit_gaussians(scene_init: Scene, camera, target_img: np.ndarray,
         o, d, rng_ids = _pixel_rays(camera, w, h, ids)
         tgt = target_flat[ids]
         # per-iteration seed as a (shardable) per-ray array
-        seed_arr = jnp.full(batch_pixels, it, jnp.uint32)
+        # (cfg.seed, it)-derived like the minibatch ids (identical to the
+        # historical `it` stream at the default seed 0)
+        seed_arr = jnp.full(batch_pixels, (cfg.seed << 20) + it, jnp.uint32)
 
         over = ""
         if candidate_k > 0 and it % cfg.save_every == 0:
