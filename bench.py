@@ -28,9 +28,66 @@ SPP = int(os.environ.get("BENCH_SPP", "64"))
 # lets the TPU queue fall back if the megakernel misbehaves on real hardware
 WAVEFRONT = os.environ.get("BENCH_WAVEFRONT", "")
 TARGET_MRAYS = 100.0
+# Bounded tunnel wait: the axon TPU relay occasionally drops the claim and
+# every device op hangs forever (CLAUDE.md).  Probe in a subprocess (a hung
+# tunnel can't wedge this process), retry until the deadline, then report
+# the last-known-good number with an explicit label instead of a traceback.
+WAIT_S = float(os.environ.get("BENCH_WAIT_S", "1200"))
+PROBE_S = float(os.environ.get("BENCH_PROBE_S", "90"))
+LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "last_good.json")
+
+
+def _backend_alive() -> bool:
+    """One bounded subprocess probe of the default JAX backend."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "jnp.ones(3).sum().block_until_ready();print('probe-ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=PROBE_S,
+                           capture_output=True)
+        return r.returncode == 0 and b"probe-ok" in r.stdout
+    except Exception:
+        return False
+
+
+def _wait_for_backend() -> bool:
+    deadline = time.time() + WAIT_S
+    attempt = 0
+    while True:
+        attempt += 1
+        if _backend_alive():
+            return True
+        left = deadline - time.time()
+        print(f"# backend probe {attempt} dead; {left:.0f}s of wait budget "
+              f"left", file=sys.stderr)
+        if left <= 0:
+            return False
+        time.sleep(min(120.0, max(5.0, left)))
+
+
+def _report_last_good() -> bool:
+    """Emit the most recent successful bench line, clearly labelled."""
+    try:
+        with open(LAST_GOOD) as f:
+            row = json.load(f)
+    except Exception:
+        return False
+    row["metric"] = f"LAST-KNOWN-GOOD (TPU tunnel down): {row['metric']}"
+    print(json.dumps(row))
+    return True
 
 
 def main():
+    if not _wait_for_backend():
+        if _report_last_good():
+            return
+        print(json.dumps({
+            "metric": "bench unavailable: TPU tunnel down for the whole "
+                      f"{WAIT_S:.0f}s wait budget and no last-known-good "
+                      "record exists",
+            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0}))
+        return
     from gvr_tpu.utils.compile_cache import enable as _cc
     _cc()
 
@@ -73,13 +130,25 @@ def main():
 
     paths = SIZE * SIZE * SPP
     mrays = paths * rays_per_path / dt / 1e6
-    print(json.dumps({
+    row = {
         "metric": f"Mrays/sec/chip multiscatter {os.path.basename(SCENE)} "
                   f"@{SIZE}x{SIZE} spp{SPP} ({rays_per_path:.2f} rays/path)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-    }))
+    }
+    print(json.dumps(row))
+    # record for the tunnel-down fallback (only the canonical default config)
+    if "BENCH_SCENE" not in os.environ and "BENCH_SIZE" not in os.environ \
+            and "BENCH_SPP" not in os.environ:
+        try:
+            import jax
+            if jax.devices()[0].platform != "cpu":
+                os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
+                with open(LAST_GOOD, "w") as f:
+                    json.dump(row, f)
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":

@@ -43,11 +43,13 @@ from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
 
 
 def effective_candidate_k(cfg: RenderConfig, n: int) -> int:
-    """cfg.candidate_k, force-capped for the UNIFORM ablation solver: it
-    materializes a [rays, 2K, K] tensor (ops/solvers._uniform_in_segment),
-    O(N^2) memory per ray, which OOMs for dense big scenes."""
-    if cfg.solver == Solver.UNIFORM and cfg.candidate_k == 0 and n > 64:
-        return 64
+    """cfg.candidate_k as configured.  (Until round 4 the UNIFORM ablation
+    solver was force-capped to 64 candidates at big N because its
+    boundary-tau program materialized a [rays, 2K, K] tensor; the
+    root-bracketing reformulation in ops/solvers._uniform_in_segment is
+    O([rays, N]) like every other solver, so UNIFORM now honors the
+    configured k — reference distance_solvers.h:132-137 semantics at every
+    scene size.)"""
     return cfg.candidate_k
 
 
@@ -726,11 +728,6 @@ def render_multiscatter(scene: Scene, camera, cfg: RenderConfig,
     use_grid = engine == "grid"
     chunk_probe = min(cfg.ray_chunk, 1 << 15) if use_grid \
         else pick_chunk(cfg, scene.medium.n)
-    if cfg.solver == Solver.UNIFORM:
-        # the uniform ablation streams boundary taus in BOUNDARY_CHUNK
-        # slices (ops/solvers._uniform_in_segment); peak intermediate is
-        # [rays, 16, K] — cap rays so that stays ~200 MB
-        chunk_probe = min(chunk_probe, 8192)
     chunk_probe = min(chunk_probe, ((w * h + 255) // 256) * 256)
     n_shards = _mesh_shards()
     # pad the chunk so it divides evenly over the mesh (preferring whole

@@ -10,6 +10,13 @@ as fixed-K tensors:
 
 * ``pixel_gaussians``: top-k Gaussians intersected by each pixel's primary
   ray, nearest entry first (+ the count, so overflow is detectable);
+* ``pixel_gaussians_paths``: the reference's FULL recording — the union of
+  contributing Gaussians at **every scatter event along every sample
+  path** (integrator.h:616-644): on scatter, every Gaussian whose interval
+  entry precedes the scatter point; on escape, every forward hit.  Replays
+  the renderer's exact path streams (same counter-hash RNG keyed by
+  (pixel, sample, bounce)), so the footprint is the set of Gaussians the
+  estimator actually touched;
 * ``gaussian_pixel_counts``: the inverse histogram — for how many pixels
   each Gaussian is a candidate (the reference's ``gaussian_pixels`` lists,
   as counts).
@@ -75,6 +82,113 @@ def pixel_gaussians(scene: Scene, camera, cfg: RenderConfig, k: int = 16):
         out_idx[start:stop] = np.asarray(idx)[: stop - start]
         out_cnt[start:stop] = np.asarray(cnt)[: stop - start]
     return out_idx, out_cnt
+
+
+@functools.lru_cache(maxsize=32)
+def _path_membership_fn(cfg: RenderConfig):
+    """Cached jitted chunk fn: one sample path per pixel lane, returns the
+    [B, N] bool union of per-bounce contributing sets.  The path stream
+    (camera jitter, free-flight target, RR, phase resample) is keyed
+    identically to ``multiscatter_radiance`` — the recorded footprint is
+    the renderer's own."""
+    from gvr_tpu.config import Solver
+    from gvr_tpu.ops.transmittance import tau_coeffs, albedo_at_from_rg
+    from gvr_tpu.ops.solvers import sample_free_flight
+    from gvr_tpu.ops.sampling import path_uniforms
+    from gvr_tpu.integrators.multiscatter import mc_camera_rays
+    from gvr_tpu.integrators.raymarch import _dir_from_xi
+
+    @jax.jit
+    def chunk(sc, camera, ids, sample_idx):
+        gmm = sc.medium
+        o, d, rng_ids = mc_camera_rays(sc, camera, cfg, ids, sample_idx)
+        b = o.shape[0]
+
+        def cond(state):
+            o, d, thr, alive, bounce, mem = state
+            return jnp.any(alive) & (bounce < cfg.max_bounces)
+
+        def body(state):
+            o, d, thr, alive, bounce, mem = state
+            rg = tau_coeffs(gmm, o, d)
+            xi = path_uniforms(rng_ids, sample_idx, bounce, 9, cfg.seed)
+            target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
+            u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
+            t_sc, scattered = sample_free_flight(
+                rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
+
+            # record (integrator.h:616-644): on scatter, every Gaussian
+            # whose interval entry precedes the scatter point (all sorted
+            # events with t <= t_scatter + tol are enter events of exactly
+            # these); on escape, every forward intersection.
+            touched = jnp.where(scattered[:, None],
+                                rg.hit & (rg.t0 <= t_sc[:, None] + 1e-6),
+                                rg.hit)
+            mem = mem | (touched & alive[:, None])
+
+            alive_n = alive & scattered
+            pos = o + t_sc[:, None] * d
+            albedo = albedo_at_from_rg(rg, gmm.albedo, t_sc)
+
+            thr_n = thr * albedo[:, None]
+            do_rr = bounce >= cfg.min_scatter
+            cap = jnp.where(bounce >= cfg.rr_tail_after, cfg.rr_cap_tail,
+                            cfg.rr_cap)
+            rr = jnp.minimum(jnp.max(thr_n, axis=-1), cap)
+            killed = do_rr & (xi[:, 5] > rr)
+            thr_n = jnp.where((do_rr & ~killed)[:, None],
+                              thr_n / jnp.maximum(rr, 1e-12)[:, None],
+                              thr_n)
+            alive_n = alive_n & ~killed
+
+            new_d = _dir_from_xi(xi[:, 6:8])
+            o = jnp.where(alive_n[:, None], pos, o)
+            d = jnp.where(alive_n[:, None], new_d, d)
+            thr = jnp.where(alive_n[:, None], thr_n, thr)
+            return o, d, thr, alive_n, bounce + 1, mem
+
+        state = (o, d, jnp.ones((b, 3)), jnp.ones((b,), bool),
+                 jnp.int32(0), jnp.zeros((b, gmm.n), bool))
+        *_, mem = jax.lax.while_loop(cond, body, state)
+        return mem
+
+    return chunk
+
+
+def pixel_gaussians_paths(scene: Scene, camera, cfg: RenderConfig,
+                          k: int = 16, spp: int | None = None):
+    """Multi-bounce per-pixel attribution (integrator.h:616-644 +
+    inverse_integrator.h:125-131): [H*W, k] int32 Gaussian indices per
+    pixel (-1 padded, ascending index) and [H*W] exact union counts, from
+    the union over ``spp`` sample paths (default ``cfg.spp``) of every
+    scatter event's contributing set.  A Gaussian reached only via a
+    secondary bounce appears here but not in ``pixel_gaussians``."""
+    w, h = cfg.width, cfg.height
+    gmm = scene.medium
+    k = min(k, gmm.n)
+    spp = cfg.spp if spp is None else spp
+    fn = _path_membership_fn(cfg)
+
+    n = w * h
+    ch = pick_chunk(cfg, gmm.n)
+    mem = np.zeros((n, gmm.n), bool)
+    for start in range(0, n, ch):
+        ids = np.minimum(np.arange(start, start + ch, dtype=np.int32),
+                         n - 1)
+        stop = min(start + ch, n)
+        acc = np.zeros((ch, gmm.n), bool)
+        for s in range(spp):
+            acc |= np.asarray(fn(scene, camera, jnp.asarray(ids),
+                                 jnp.int32(s)))
+        mem[start:stop] |= acc[: stop - start]
+
+    counts = mem.sum(axis=1).astype(np.int32)
+    out_idx = np.full((n, k), -1, np.int32)
+    px, g = np.nonzero(mem)                       # row-major: g ascending
+    pos = np.arange(len(px)) - np.searchsorted(px, np.arange(n))[px]
+    sel = pos < k
+    out_idx[px[sel], pos[sel]] = g[sel]
+    return out_idx, counts
 
 
 @functools.lru_cache(maxsize=32)

@@ -44,23 +44,35 @@ def sfd_gradient(loss_of_params: Callable, params: jnp.ndarray,
     return (grad / num_samples).astype(np.float32)
 
 
-def footprint_fn(scene_template, camera, cfg, k: int = 16) -> Callable:
+def footprint_fn(scene_template, camera, cfg, k: int = 16,
+                 paths: bool = False, spp: int | None = None) -> Callable:
     """Build ``footprint_of_params``: params -> [H*W, k] int32 Gaussian
-    indices per pixel (-1 padded), via the attribution machinery
-    (inverse/attribution.pixel_gaussians)."""
+    indices per pixel (-1 padded), via the attribution machinery.
+
+    ``paths=False``: primary-ray top-k (inverse/attribution.pixel_gaussians).
+    ``paths=True``: the reference's full multi-bounce recording
+    (integrator.h:616-644) — the union of contributing Gaussians at every
+    scatter event over ``spp`` sample paths
+    (attribution.pixel_gaussians_paths); a Gaussian reached only through a
+    secondary bounce enters the localized-SFD footprint, matching
+    inverse_integrator.h:125-131."""
     from gvr_tpu.scene.gaussians import GaussianMixture
-    from gvr_tpu.inverse.attribution import pixel_gaussians
+    from gvr_tpu.inverse.attribution import (pixel_gaussians,
+                                             pixel_gaussians_paths)
 
     def fp(params):
         gmm = GaussianMixture.from_parameters(jnp.asarray(params))
-        idx, cnt = pixel_gaussians(scene_template.with_medium(gmm), camera,
-                                   cfg, k)
+        sc = scene_template.with_medium(gmm)
+        if paths:
+            idx, cnt = pixel_gaussians_paths(sc, camera, cfg, k, spp)
+        else:
+            idx, cnt = pixel_gaussians(sc, camera, cfg, k)
         # a truncated footprint silently drops those gaussians' loss
         # contributions from the localized-SFD cross-check — refuse loudly
         over = int(np.max(cnt)) if cnt.size else 0
         if over > min(k, gmm.n):
             raise ValueError(
-                f"footprint_fn: a pixel's primary ray hits {over} "
+                f"footprint_fn: a pixel's footprint reaches {over} "
                 f"gaussians (> k={k}); localized SFD would silently drop "
                 f"their contributions — call footprint_fn with k>={over}")
         return idx

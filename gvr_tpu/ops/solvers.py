@@ -140,62 +140,40 @@ def _analytic_single(rg: RayGaussians, target):
     return jnp.clip(t, t0, t1), valid
 
 
-def _event_boundaries(rg: RayGaussians):
-    """Sorted event times [..., 2N] (+inf padded), the reference's sorted
-    ``PrimitiveHitEvent`` list (gmm.h:457-515) as a tensor."""
+def _uniform_in_segment(rg: RayGaussians, target, u, iters: int = 24):
+    """Uniform sample inside the critical segment
+    (distance_solvers.h:132-137): the reference walks sorted events until
+    accumulated tau exceeds the target, then samples uniformly between the
+    bracketing boundaries.
+
+    TPU formulation: the critical segment is exactly the inter-event
+    segment containing the root of tau(t) = target (tau is monotone and
+    strictly increasing wherever a Gaussian is active), so locate the root
+    with the existing bracketed Newton (O([rays, N]) work) and take the
+    nearest event boundaries around it with two masked reductions — the
+    max event time <= t* and the min event time > t*.  No sorted event
+    tensor and no [rays, 2N, N] boundary-tau program: the earlier
+    formulation's chunked boundary-tau scan reproducibly faulted libtpu at
+    512x512 (round-2 weak #4 / round-3 missing #3) and forced a
+    candidate_k=64 cap on dense scenes; both are gone."""
+    t_lo, t_hi, _ = _bracket(rg)
+    t_star = _safeguarded_newton(rg, target, t_lo, t_hi, iters)
+
     inf = jnp.float32(jnp.inf)
-    ts = jnp.concatenate([jnp.where(rg.hit, rg.t0, inf),
-                          jnp.where(rg.hit, rg.t1, inf)], axis=-1)
-    return jnp.sort(ts, axis=-1)
-
-
-BOUNDARY_CHUNK = 16
-
-
-def _uniform_in_segment(rg: RayGaussians, target, u):
-    """Uniform sample inside the critical segment: locate the bracketing
-    event boundaries and sample uniformly between them.
-
-    The boundary taus are computed in ``BOUNDARY_CHUNK``-sized chunks of
-    the 2N boundary axis via ``lax.scan`` — the peak intermediate is
-    [rays, CHUNK, N] instead of [rays, 2N, N].  (The one-shot form
-    materialized ~2 GB at 64k rays x K=64 and reproducibly crashed the
-    TPU worker at 512*512 — round-2 weak #4.)"""
-    ts = _event_boundaries(rg)                       # [..., 2N]
-    finite = jnp.isfinite(ts)
-    ts_safe = jnp.where(finite, ts, 0.0)
-
-    nb = ts.shape[-1]
-    cb = min(BOUNDARY_CHUNK, nb)
-    pad = (-nb) % cb
-    ts_p = jnp.concatenate(
-        [ts_safe, jnp.zeros(ts.shape[:-1] + (pad,), ts.dtype)], axis=-1) \
-        if pad else ts_safe
-    nchunks = (nb + pad) // cb
-    # [nchunks, ..., cb] so scan carries one chunk of boundaries at a time
-    xs = jnp.moveaxis(ts_p.reshape(ts.shape[:-1] + (nchunks, cb)), -2, 0)
-
-    def tau_at(tq):
-        """Mixture tau up to each boundary in the chunk: [..., cb]."""
-        b_ = jnp.minimum(rg.t1[..., None, :], tq[..., :, None])
-        fs = rg.fscale[..., None, :]
-        a = rg.a[..., None, :]
-        b2 = rg.b[..., None, :]
-        erf_hi = jax.lax.erf((b2 + 2.0 * a * b_) * fs)
-        erf_lo = jax.lax.erf((b2 + 2.0 * a * rg.t0[..., None, :]) * fs)
-        contrib = rg.pref[..., None, :] * (erf_hi - erf_lo)
-        valid = rg.hit[..., None, :] & (b_ > rg.t0[..., None, :])
-        return jnp.sum(jnp.where(valid, contrib, 0.0), axis=-1)
-
-    tau_chunks = jax.lax.map(tau_at, xs)             # [nchunks, ..., cb]
-    tau_b = jnp.moveaxis(tau_chunks, 0, -2).reshape(
-        ts.shape[:-1] + (nb + pad,))[..., :nb]
-    tau_b = jnp.where(finite, tau_b, jnp.inf)
-
-    idx = jnp.sum((tau_b < target[..., None]).astype(jnp.int32), axis=-1)
-    idx = jnp.clip(idx, 1, ts.shape[-1] - 1)
-    hi_t = jnp.take_along_axis(ts_safe, idx[..., None], axis=-1)[..., 0]
-    lo_t = jnp.take_along_axis(ts_safe, (idx - 1)[..., None], axis=-1)[..., 0]
+    t0m = jnp.where(rg.hit, rg.t0, inf)
+    t1m = jnp.where(rg.hit, rg.t1, inf)
+    ts = t_star[..., None]
+    lo_t = jnp.maximum(
+        jnp.max(jnp.where(t0m <= ts, t0m, -inf), axis=-1),
+        jnp.max(jnp.where(t1m <= ts, t1m, -inf), axis=-1))
+    hi_t = jnp.minimum(
+        jnp.min(jnp.where(t0m > ts, t0m, inf), axis=-1),
+        jnp.min(jnp.where(t1m > ts, t1m, inf), axis=-1))
+    # t* is clipped to [t_lo, t_hi], so an event <= t* always exists (the
+    # first entry) — lo_t is finite on scattering lanes; at t* = t_hi the
+    # hi side is empty and the segment degenerates to [lo_t, t_hi]
+    lo_t = jnp.clip(lo_t, t_lo, t_hi)
+    hi_t = jnp.clip(hi_t, lo_t, t_hi)
     return lo_t + u * (hi_t - lo_t)
 
 

@@ -261,50 +261,45 @@ class GaussianMixture:
 def rotation_to_rodrigues(r):
     """Batched rotation matrix [N,3,3] -> axis*angle vector [N,3].
 
-    Safe at angle -> 0 (returns 0) and numerically guarded near pi.
-    Non-finite results map to zero, matching the reference guard
+    Goes through a quaternion (Shepperd's method: pick the largest of the
+    four squared components, so every branch divides by a quantity >= 1/2)
+    — uniformly well-conditioned over the whole rotation group, unlike the
+    classic axis = w/(2 sin theta) form which loses ~3 digits just below
+    the near-pi switchover (the round-3 red test).  Safe at angle -> 0
+    (factor Taylor branch) and exactly at pi (q_w = 0, atan2 fine).
+    Non-finite inputs map to zero, matching the reference guard
     (gmm.h:602-604)."""
-    tr = r[:, 0, 0] + r[:, 1, 1] + r[:, 2, 2]
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    angle = jnp.arccos(cos_t)
-    # skew part gives axis*2sin(theta)
-    w = jnp.stack([r[:, 2, 1] - r[:, 1, 2],
-                   r[:, 0, 2] - r[:, 2, 0],
-                   r[:, 1, 0] - r[:, 0, 1]], axis=-1)
-    sin_t = jnp.linalg.norm(w, axis=-1) * 0.5
-    small = angle < 1e-6
-    near_pi = angle > jnp.pi - 1e-3
-
-    # generic: axis = w / (2 sin)
-    axis_gen = w / jnp.maximum(2.0 * sin_t, 1e-12)[:, None]
-
-    # near pi: axis^2 proportional to diag((R + I)/2)
-    b = (jnp.stack([r[:, 0, 0], r[:, 1, 1], r[:, 2, 2]], axis=-1) + 1.0) * 0.5
-    axis_pi = jnp.sqrt(jnp.clip(b, 0.0, 1.0))
-    # fix signs from off-diagonals: pick the largest component positive and
-    # sign the others by R_ij + R_ji
-    largest = jnp.argmax(axis_pi, axis=-1)
-    off = jnp.stack([r[:, 0, 1] + r[:, 1, 0],
-                     r[:, 0, 2] + r[:, 2, 0],
-                     r[:, 1, 2] + r[:, 2, 1]], axis=-1)  # (xy, xz, yz)
-
-    def sign_fix(ax, lg, offv):
-        sx = jnp.where(lg == 0, 1.0,
-                       jnp.where(lg == 1, jnp.sign(offv[0]),
-                                 jnp.sign(offv[1])))
-        sy = jnp.where(lg == 1, 1.0,
-                       jnp.where(lg == 0, jnp.sign(offv[0]),
-                                 jnp.sign(offv[2])))
-        sz = jnp.where(lg == 2, 1.0,
-                       jnp.where(lg == 0, jnp.sign(offv[1]),
-                                 jnp.sign(offv[2])))
-        s = jnp.stack([sx, sy, sz], axis=-1)
-        return ax * jnp.where(s == 0.0, 1.0, s)
-
-    axis_pi = jax.vmap(sign_fix)(axis_pi, largest, off)
-    axis = jnp.where(near_pi[:, None], axis_pi, axis_gen)
-    rod = axis * angle[:, None]
-    rod = jnp.where(small[:, None], 0.0, rod)
+    r00, r11, r22 = r[:, 0, 0], r[:, 1, 1], r[:, 2, 2]
+    # 4*q_i^2 for i in (w, x, y, z)
+    qw2 = 1.0 + r00 + r11 + r22
+    qx2 = 1.0 + r00 - r11 - r22
+    qy2 = 1.0 - r00 + r11 - r22
+    qz2 = 1.0 - r00 - r11 + r22
+    # antisymmetric / symmetric off-diagonal sums
+    a = r[:, 2, 1] - r[:, 1, 2]
+    b = r[:, 0, 2] - r[:, 2, 0]
+    c = r[:, 1, 0] - r[:, 0, 1]
+    d = r[:, 0, 1] + r[:, 1, 0]
+    e = r[:, 0, 2] + r[:, 2, 0]
+    f = r[:, 1, 2] + r[:, 2, 1]
+    # each row i is the quaternion scaled by 4*q_i — normalization removes
+    # the scale, so only the (well-conditioned) ratios matter
+    cand = jnp.stack([
+        jnp.stack([qw2, a, b, c], axis=-1),
+        jnp.stack([a, qx2, d, e], axis=-1),
+        jnp.stack([b, d, qy2, f], axis=-1),
+        jnp.stack([c, e, f, qz2], axis=-1),
+    ], axis=1)                                               # [N,4,4]
+    mags = jnp.stack([qw2, qx2, qy2, qz2], axis=-1)          # [N,4]
+    idx = jnp.argmax(mags, axis=-1)
+    q = jnp.take_along_axis(cand, idx[:, None, None], axis=1)[:, 0]
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    q = q * jnp.where(q[:, :1] < 0.0, -1.0, 1.0)             # w >= 0
+    s = jnp.linalg.norm(q[:, 1:], axis=-1)                   # sin(angle/2)
+    angle = 2.0 * jnp.arctan2(s, q[:, 0])
+    # rod = axis*angle = q_vec * angle/sin(angle/2); Taylor at 0: factor -> 2
+    factor = jnp.where(s < 1e-6, 2.0, angle / jnp.maximum(s, 1e-12))
+    rod = q[:, 1:] * factor[:, None]
     return jnp.where(jnp.isfinite(rod), rod, 0.0)
 
 
