@@ -227,7 +227,7 @@ def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
     # the cost model is statistical — estimate it on a gaussian subsample
     # for big scenes (the 23-side tight-mask sweep measured ~160 s at full
     # 5000_random; the FINAL build still inserts every gaussian exactly)
-    sub_cap = 4000
+    sub_cap = 2500
     scale = 1.0
     if n > sub_cap:
         sel = np.random.default_rng(0).choice(n, sub_cap, replace=False)
@@ -258,6 +258,13 @@ def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
         if s_cap < fallback_cap:
             fallback, fallback_cap = side, s_cap
         if s_cap > S_CAP_MAX:
+            # an S_CAP-refused side is unusable — but it must still count
+            # toward the early stop, or a scene whose fine sides are all
+            # refused sweeps the entire range at full binning cost
+            # (measured 188 s on 5000_random, round 4)
+            rising += 1 if best is not None else 0
+            if rising >= 3:
+                break
             continue
         occ_frac = occ.mean()
         occ_crossings = 1.5 * side * occ_frac

@@ -63,8 +63,14 @@ class RenderConfig:
     step_size: float = 0.01        # ray-march step (deterministic integrators)
     env_samples: int = 20          # env direction samples (ray marchers)
     solver: Solver = Solver.ANALYTIC_NEWTON
-    solver_iters: int = 10         # fixed solver trip count (Newton+Illinois
-                                   # reaches p99 tau-residual ~1e-4 at 10)
+    # fixed solver trip count.  Newton+Illinois measured on 250_random
+    # (8192 random in-medium rays, conditioned targets, r4): p99
+    # tau-residual 2.3e-6 and p99 |dt| 5e-7 vs a 28-iteration reference at
+    # 8 iterations (6 leaves a 2e-2 p99 tail; 10/12 buy < 4x on an
+    # already-converged p99).  8 matches the reference's own Newton trip
+    # count (distance_solvers.h:64) and saves ~6 ns/ray of the dense
+    # bounce at N=250.
+    solver_iters: int = 8
     # in-kernel analytic erfinv finisher (exact root when one gaussian is
     # active at the iterate; distance_solvers.h:176-186).  Off by default:
     # at solver_iters=10 the Newton+Illinois root is already converged

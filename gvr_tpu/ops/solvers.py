@@ -16,12 +16,12 @@ Solvers:
   * newton     — safeguarded Newton, quadratic convergence, fp32-exact in
                  ~12-24 iterations.
   * bisection  — plain fixed-iteration bisection (distance_solvers.h:25-57).
-  * analytic_newton — rays whose *entire* candidate set is one Gaussian use
-                 the closed-form erfinv inverse (gaussian.h:235-297); the
-                 rest use safeguarded Newton.  (The reference applies the
-                 analytic path per-segment; for a single-Gaussian ray the two
-                 coincide, which covers the scenes where the analytic path
-                 dominates.)
+  * analytic_newton — safeguarded Newton, then the per-segment analytic
+                 erfinv finisher wherever the iterated root lies inside
+                 exactly one Gaussian's interval (the reference default
+                 ANALYTIC_PLUS_NEWTON, distance_solvers.h:176-186), plus
+                 the whole-ray single-hit closed form
+                 (gaussian.h:235-297).
   * uniform    — uniform sample inside the critical segment
                  (distance_solvers.h:132-137); needs the sorted event
                  boundaries, kept for the solver-ablation parity tests.
@@ -114,6 +114,46 @@ def _safeguarded_newton(rg, target, t_lo, t_hi, iters, use_newton=True):
     return jnp.clip(t, t_lo, t_hi)
 
 
+def _analytic_finisher(rg: RayGaussians, target, t):
+    """Per-segment analytic erfinv finisher (distance_solvers.h:176-186),
+    the XLA twin of the Pallas kernels' ``_finisher_root``: where the
+    iterated root ``t`` lies inside exactly ONE Gaussian's interval, the
+    residual target inverts in closed form.  Guards that no other interval
+    opens/closes between the iterated and analytic roots, so the
+    replacement is exact.  This matches the reference's DEFAULT
+    ``ANALYTIC_PLUS_NEWTON`` semantics per critical segment — not just the
+    single-hit-ray special case (round-3 missing #2)."""
+    big = jnp.float32(3.4e38)
+    tt = t[..., None]
+    act = rg.hit & (rg.t0 < tt) & (tt < rg.t1)
+    n_act = jnp.sum(act.astype(jnp.int32), axis=-1)
+    done = rg.hit & (rg.t1 <= tt)
+    tau_done = jnp.sum(jnp.where(done, rg.tau_i, 0.0), axis=-1)
+    nxt = jnp.min(jnp.where(rg.hit & (rg.t0 > tt), rg.t0, big), axis=-1)
+    prv = jnp.max(jnp.where(done, rg.t1, 0.0), axis=-1)
+
+    def pick(x):
+        return jnp.sum(jnp.where(act, x, 0.0), axis=-1)
+
+    pref1 = pick(rg.pref)
+    fs1 = pick(rg.fscale)
+    a1 = pick(rg.a)
+    b1 = pick(rg.b)
+    el1 = pick(rg.erf_lo)
+    t01 = pick(rg.t0)
+    t11 = pick(rg.t1)
+
+    arg = (target - tau_done) / jnp.maximum(pref1, 1e-30) + el1
+    one_eps = 1.0 - 1e-6
+    t_a = (jax.lax.erf_inv(jnp.clip(arg, -one_eps, one_eps))
+           / jnp.maximum(fs1, 1e-30) - b1) / (2.0 * jnp.maximum(a1, 1e-30))
+    fin = ((n_act == 1) & (arg > -one_eps) & (arg < one_eps)
+           & jnp.isfinite(t_a)
+           & (t_a >= jnp.maximum(t01, prv))
+           & (t_a <= jnp.minimum(t11, nxt)))
+    return jnp.where(fin, t_a, t)
+
+
 def _analytic_single(rg: RayGaussians, target):
     """Closed-form inverse for rays with exactly one hit Gaussian
     (gaussian.h:235-297).  Returns (t, valid)."""
@@ -197,6 +237,11 @@ def sample_free_flight(rg: RayGaussians, target_tau, solver: Solver,
     elif solver == Solver.ANALYTIC_NEWTON:
         t_newton = _safeguarded_newton(rg, tgt, t_lo, t_hi, iters,
                                        use_newton=True)
+        # per-segment analytic inversion at the iterated root (the
+        # reference default, distance_solvers.h:176-186) ...
+        t_newton = _analytic_finisher(rg, tgt, t_newton)
+        # ... plus the whole-ray single-hit closed form, which is exact
+        # regardless of where the iterate landed (gaussian.h:235-297)
         n_hits = jnp.sum(rg.hit.astype(jnp.int32), axis=-1)
         t_ana, ok = _analytic_single(rg, tgt)
         t = jnp.where((n_hits == 1) & ok, t_ana, t_newton)

@@ -266,7 +266,8 @@ def main():
     out["nee_full_iters12"] = {"total_us": t12 * 1e6}
     out["ns_per_ray_full6"] = (prev - 0) / B * 1e9
     print(json.dumps(out, indent=1))
-    with open("benchmarks/breakdown_kernel_r3.json", "w") as fh:
+    with open(os.environ.get("PROF_OUT",
+              "benchmarks/breakdown_kernel_r4.json"), "w") as fh:
         json.dump(out, fh, indent=1)
 
 

@@ -56,8 +56,18 @@ timeout 3600 env BENCH_SPP=256 BENCH_WAVEFRONT=$WAVE python bench.py \
 grep -E '^\{' /tmp/r4q/headline256.log | tail -1 \
     > benchmarks/headline_spp256_r4.json
 
-echo "=== [5/5] full-res parity sweep (incl UNIFORM 512^2, new solver) ==="
+echo "=== [5/6] full-res parity sweep (incl UNIFORM 512^2, new solver) ==="
 timeout 5400 env PARITY_SPP=256 python scripts/parity_report.py \
     2>&1 | tee /tmp/r4q/parity.log
+
+echo "=== [6/6] kernel + stage profiles (iters=8 defaults) ==="
+timeout 1800 env PROF_OUT=benchmarks/breakdown_kernel_r4.json \
+    python scripts/profile_kernel.py 2>&1 | tee /tmp/r4q/prof_kernel.log
+timeout 3600 env PROF_OUT=benchmarks/breakdown_r4_grid.json \
+    python scripts/profile_stages.py grid 2>&1 | tee /tmp/r4q/prof_grid.log
+
+echo "=== [7/7] (optional) reference-scale fit artifact ==="
+timeout 3600 python scripts/fit_demo.py --size 512 --iters 600 --spp 64 \
+    --eval-spp 512 --out /tmp/fit_demo_r4 2>&1 | tee /tmp/r4q/fitA.log
 
 echo "=== queue done at $(date) ==="
