@@ -218,3 +218,45 @@ def test_grid_cache_key_is_content_hash():
         jnp.asarray(mean2), gmm.cov, gmm.density, gmm.albedo)
     g2 = grid_for(gmm2)
     assert not np.array_equal(np.asarray(g1.table), np.asarray(g2.table))
+
+
+@pytest.mark.parametrize("name,min_n", [("5000_random", 2000),
+                                        ("10k_random", 2000),
+                                        ("20k_bias", 2000)])
+def test_big_fixtures_are_grid_eligible(name, min_n):
+    """Round-2 regression: 5000_random was refused by S_CAP_MAX (the old
+    AABB-range insertion overcounted fat supports 1.9-2.9x) and fell back
+    to the dense engine.  With tight ellipsoid-box insertion all three big
+    reference fixtures must stay grid-eligible — their densest cell's
+    solve-view span must fit the solve kernel's VMEM scratch bound.
+
+    Uses choose_side + build stats only (no render): the full engine
+    selection path is engine_for -> grid_for -> s_cap <= S_CAP_MAX."""
+    import os
+    from gvr_tpu.scene.scene import load_gmm
+    from gvr_tpu.accel.grid import choose_side, S_CAP_MAX, _bin_gaussians, \
+        _tight_mask
+    path = f"/root/reference/scenes/gaussians/{name}.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference scenes unavailable")
+    gmm = load_gmm(path).medium
+    assert gmm.n >= min_n  # below GRID_MIN_N the engine stays dense anyway
+
+    bmin, bmax = (np.asarray(a, np.float64) for a in gmm.aabbs())
+    lo = bmin.min(0) - 1e-4
+    hi = bmax.max(0) + 1e-4
+    ic6 = np.asarray(gmm.icpack(), np.float64)
+    mean = np.asarray(gmm.mean, np.float64)
+    side = choose_side(bmin, bmax, lo, hi, ic6, mean)
+
+    # exact (full-scene, unsubsampled) s_cap at the chosen side
+    cell = (hi - lo) / side
+    i0 = np.clip(((bmin - lo) / cell).astype(np.int64), 0, side - 1)
+    i1 = np.clip(((bmax - lo) / cell).astype(np.int64), 0, side - 1)
+    cid, gid, ixyz = _bin_gaussians(i0, i1, side, side)
+    cid = cid[_tight_mask(ic6, mean, gid, ixyz, lo, cell)]
+    counts = np.bincount(cid, minlength=side ** 3)
+    gend = np.cumsum(counts)
+    gfirst = gend - counts
+    span = np.where(counts > 0, (gend - 1) // H - gfirst // H + 1, 0)
+    assert span.max() <= S_CAP_MAX, (name, side, int(span.max()))
