@@ -61,11 +61,18 @@ class GridIndex:
                   (entries on sublanes, features minor); feature 9 is the
                   entry's OWN cell id (exact in f32 for < 2^24 cells),
                   feature 12 the validity flag (0 for padding)
-      table2      [S2 + pad, 16, H2] span view of the SAME flat entry
-                  array: H2=128 entries on lanes, features on sublanes —
-                  the minor dim must be 128 for manual HBM->VMEM DMA
-      cell_gfirst [C] int32   first entry index of each cell
+      table2      [S2 + pad, 16, H2] span view of the same entries with
+                  every cell's run ALIGNED to an H2=128-entry slice
+                  boundary (H2 entries on lanes, features on sublanes —
+                  the minor dim must be 128 for manual HBM->VMEM DMA).
+                  Alignment means a single-cell item block sweeps exactly
+                  ceil(cnt / H2) slices — no edge slices shared with
+                  neighboring cells (up to 2 x 127 foreign lanes per
+                  crossing in the packed layout; the dominant sweep waste
+                  at fine grid sides, where cnt << H2)
+      cell_gfirst [C] int32   first entry index of each cell (solve view)
       cell_gcnt   [C] int32   entry count of each cell (0 = empty)
+      cell_g2first [C] int32  first entry index in the ALIGNED span view
       lo          [3] grid origin;  cell [3] cell size;  inv_cell [3]
 
     Static (aux):
@@ -77,6 +84,7 @@ class GridIndex:
     table2: jnp.ndarray
     cell_gfirst: jnp.ndarray
     cell_gcnt: jnp.ndarray
+    cell_g2first: jnp.ndarray
     lo: jnp.ndarray
     cell: jnp.ndarray
     inv_cell: jnp.ndarray
@@ -89,7 +97,7 @@ class GridIndex:
 
     def tree_flatten(self):
         leaves = (self.table, self.table2, self.cell_gfirst, self.cell_gcnt,
-                  self.lo, self.cell, self.inv_cell)
+                  self.cell_g2first, self.lo, self.cell, self.inv_cell)
         return leaves, (self.side, self.s_cap, self.n_slices,
                         self.n_entries, self.lo_t, self.cell_t)
 
@@ -279,11 +287,13 @@ def choose_side(bmin, bmax, lo, hi, ic6=None, mean=None) -> int:
             continue
         occ_frac = occ.mean()
         occ_crossings = 1.5 * side * occ_frac
-        mean_entries = e / max(occ.sum(), 1)
         slots = 3 * side + 3
-        # sweep per crossing: the block's span covers the cell's entries
-        # plus ~half an H2 slice of edge quantization on each side
-        tau_ns = occ_crossings * (mean_entries + 128.0) * C_LANE
+        # sweep per crossing: the cell-ALIGNED span view sweeps exactly
+        # ceil(cnt / H2) slices of the crossing's own cell (no foreign
+        # edge lanes) — mean over occupied cells
+        aligned_lanes = float(np.mean(
+            np.ceil(counts[occ] / H2) * H2)) if occ.any() else float(H2)
+        tau_ns = occ_crossings * aligned_lanes * C_LANE
         solve_ns = (span_sl.sum() / max(occ.sum(), 1)) * C_SOLVE
         cost = C_DDA * slots + C_SORT_SLOT * slots + tau_ns + solve_ns
         costs[side] = cost
@@ -355,10 +365,24 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
     flat[:e_total, 9] = cell_ids[order].astype(np.float32)
     table = flat.reshape(s_total + s_pad, H, 16)
 
-    # span view: same flat entries, H2=128 on lanes, features on sublanes
-    s2_total = (e_total + H2 - 1) // H2
+    # span view: H2=128 on lanes, features on sublanes, and every cell's
+    # run aligned to a slice boundary (single-cell item blocks then sweep
+    # exactly ceil(cnt / H2) slices — no foreign edge lanes).  The
+    # alignment padding costs (C_occ * H2/2) benign entries on average;
+    # table2 lives in HBM and streams, so size is not the constraint.
+    cnt2 = ((counts + H2 - 1) // H2) * H2
+    g2first = np.zeros_like(cnt2)
+    g2first[1:] = np.cumsum(cnt2)[:-1]
+    e2_total = int(cnt2.sum())
+    s2_total = (e2_total + H2 - 1) // H2
     flat2 = np.tile(pad, ((s2_total + s_pad) * H2, 1)).astype(np.float32)
-    flat2[:e_total] = flat[:e_total]
+    # scatter the cell-sorted entries to their aligned homes: entry k of
+    # the sorted order has in-cell rank k - gfirst[cell] and lands at
+    # g2first[cell] + rank
+    cell_sorted = cell_ids[order]
+    dest = g2first[cell_sorted] + (np.arange(e_total, dtype=np.int64)
+                                   - gfirst[cell_sorted])
+    flat2[dest] = flat[:e_total]
     table2 = np.ascontiguousarray(np.moveaxis(
         flat2.reshape(s2_total + s_pad, H2, 16), 1, 2))
 
@@ -367,6 +391,7 @@ def build_grid(gmm, side: int | None = None) -> GridIndex:
         table2=jnp.asarray(table2),
         cell_gfirst=jnp.asarray(gfirst.astype(np.int32)),
         cell_gcnt=jnp.asarray(counts.astype(np.int32)),
+        cell_g2first=jnp.asarray(g2first.astype(np.int32)),
         lo=jnp.asarray(lo, jnp.float32),
         cell=jnp.asarray(cell, jnp.float32),
         inv_cell=jnp.asarray(1.0 / cell, jnp.float32),
@@ -522,9 +547,10 @@ def sort_items(grid: GridIndex, cells, payload, blk: int = 512):
     s = jax.lax.sort(ops, num_keys=1, is_stable=True)
     key_s, id_s, *pay_s = s
 
-    # per-block slice span from the min/max valid cell in the block
-    # (entry-granular: a block's span covers from its first cell's first
-    # entry to its last cell's last entry, in whole table slices)
+    # per-block slice span from the min/max valid cell in the block, in
+    # the cell-ALIGNED span view: a block's span runs from its first
+    # cell's first slice to its last cell's last slice (both boundaries
+    # exact — alignment means no slice mixes two cells)
     kb = key_s.reshape(-1, blk)
     valid = kb < c
     c_min = jnp.min(jnp.where(valid, kb, c), axis=1)
@@ -532,8 +558,8 @@ def sort_items(grid: GridIndex, cells, payload, blk: int = 512):
     any_v = jnp.any(valid, axis=1)
     safe_min = jnp.clip(c_min, 0, c - 1)
     safe_max = jnp.clip(c_max_, 0, c - 1)
-    e_lo = grid.cell_gfirst[safe_min]
-    e_hi = grid.cell_gfirst[safe_max] + grid.cell_gcnt[safe_max]
+    e_lo = grid.cell_g2first[safe_min]
+    e_hi = grid.cell_g2first[safe_max] + grid.cell_gcnt[safe_max]
     s_lo = jnp.where(any_v, e_lo // H2, 0)
     s_hi = jnp.where(any_v, (e_hi + H2 - 1) // H2, 0)
     n_sl = jnp.maximum(s_hi - s_lo, 0).astype(jnp.int32)
