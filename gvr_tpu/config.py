@@ -65,12 +65,13 @@ class RenderConfig:
     solver: Solver = Solver.ANALYTIC_NEWTON
     # fixed solver trip count.  Newton+Illinois measured on 250_random
     # (8192 random in-medium rays, conditioned targets, r4): p99
-    # tau-residual 2.3e-6 and p99 |dt| 5e-7 vs a 28-iteration reference at
-    # 8 iterations (6 leaves a 2e-2 p99 tail; 10/12 buy < 4x on an
-    # already-converged p99).  8 matches the reference's own Newton trip
-    # count (distance_solvers.h:64) and saves ~6 ns/ray of the dense
-    # bounce at N=250.
-    solver_iters: int = 8
+    # tau-residual 2.3e-6 at 8 iterations — but p99 hides the tail that
+    # matters: at 8 iters 0.123% of rays carry >1% relative tau residual
+    # (max residual 1.48 — a grossly wrong free-flight root, i.e. bias),
+    # vs 0.012% (max 9.7e-3) at 10.  The reference's 8-iteration Newton
+    # (distance_solvers.h:64) runs per SEGMENT on an already-tight
+    # bracket; this global solve needs the two extra trips.
+    solver_iters: int = 10
     # in-kernel analytic erfinv finisher (exact root when one gaussian is
     # active at the iterate; distance_solvers.h:176-186).  Off by default:
     # at solver_iters=10 the Newton+Illinois root is already converged

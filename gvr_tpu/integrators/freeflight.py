@@ -29,8 +29,7 @@ def single_scatter_radiance(scene: Scene, origin, direction, rng_ids,
     from gvr_tpu.ops.sampling import path_uniforms
     xi = path_uniforms(rng_ids, sample, 0, 9, cfg.seed)
     rg = tau_coeffs(gmm, origin, direction)
-    from gvr_tpu.integrators.multiscatter import effective_candidate_k
-    k_cand = effective_candidate_k(cfg, gmm.n)
+    k_cand = cfg.candidate_k
     if 0 < k_cand < gmm.n:
         rg, alb_k, _ = compact_candidates(rg, gmm.albedo, k_cand)
     else:
@@ -38,7 +37,8 @@ def single_scatter_radiance(scene: Scene, origin, direction, rng_ids,
     target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
     u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
     t_sc, scattered = sample_free_flight(
-        rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
+        rg, target_tau, cfg.solver, cfg.solver_iters, u_sol,
+        finisher=cfg.solver_finisher)
 
     pos = origin + t_sc[:, None] * direction
     albedo = albedo_at_from_rg(rg, alb_k, t_sc)

@@ -42,17 +42,6 @@ from gvr_tpu.integrators.common import ids_to_pixels, pick_chunk
 from gvr_tpu.integrators.raymarch import _dir_from_xi, INV_4PI, FOUR_PI
 
 
-def effective_candidate_k(cfg: RenderConfig, n: int) -> int:
-    """cfg.candidate_k as configured.  (Until round 4 the UNIFORM ablation
-    solver was force-capped to 64 candidates at big N because its
-    boundary-tau program materialized a [rays, 2K, K] tensor; the
-    root-bracketing reformulation in ops/solvers._uniform_in_segment is
-    O([rays, N]) like every other solver, so UNIFORM now honors the
-    configured k — reference distance_solvers.h:132-137 semantics at every
-    scene size.)"""
-    return cfg.candidate_k
-
-
 def _nee(sc: Scene, gmm, pos, xi_choice, xi_light, xi_env2):
     """Next-event estimation: sample one of (num_lights point lights + env)
     with probability 1/(L+1) each (integrator.h:657-683).
@@ -103,7 +92,7 @@ def multiscatter_radiance(scene: Scene, origin, direction, rng_ids,
         o, d, thr, rad, alive, bounce = state
         return jnp.any(alive) & (bounce < cfg.max_bounces)
 
-    k_cand = effective_candidate_k(cfg, gmm.n)
+    k_cand = cfg.candidate_k
     use_compact = 0 < k_cand < gmm.n
 
     def body(state):
@@ -121,7 +110,8 @@ def multiscatter_radiance(scene: Scene, origin, direction, rng_ids,
         target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
         u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
         t_sc, scattered = sample_free_flight(
-            rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
+            rg, target_tau, cfg.solver, cfg.solver_iters, u_sol,
+            finisher=cfg.solver_finisher)
 
         # escaped rays collect the environment (integrator.h:594-597,647-650)
         escaped = alive & ~scattered
@@ -488,7 +478,7 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     x = ids % w
     y = ids // w
     n_strat = strat_n(cfg.spp)
-    k_cand = effective_candidate_k(cfg, gmm.n)
+    k_cand = cfg.candidate_k
     use_compact = 0 < k_cand < gmm.n
 
     use_pallas = _pallas_enabled(cfg)
@@ -570,7 +560,8 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
             target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
             u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
             t_sc, scattered = sample_free_flight(
-                rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
+                rg, target_tau, cfg.solver, cfg.solver_iters, u_sol,
+                finisher=cfg.solver_finisher)
             pos = o + t_sc[:, None] * d
             albedo = albedo_at_from_rg(rg, alb_k, t_sc)
 

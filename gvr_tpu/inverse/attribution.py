@@ -92,7 +92,8 @@ def _path_membership_fn(cfg: RenderConfig):
     identically to ``multiscatter_radiance`` — the recorded footprint is
     the renderer's own."""
     from gvr_tpu.config import Solver
-    from gvr_tpu.ops.transmittance import tau_coeffs, albedo_at_from_rg
+    from gvr_tpu.ops.transmittance import (tau_coeffs, albedo_at_from_rg,
+                                           compact_candidates)
     from gvr_tpu.ops.solvers import sample_free_flight
     from gvr_tpu.ops.sampling import path_uniforms
     from gvr_tpu.integrators.multiscatter import mc_camera_rays
@@ -101,6 +102,12 @@ def _path_membership_fn(cfg: RenderConfig):
     @jax.jit
     def chunk(sc, camera, ids, sample_idx):
         gmm = sc.medium
+        # mirror the renderer's candidate compaction exactly: with
+        # candidate_k active the renderer solves free flight on the
+        # compacted set, so the replayed paths must too — otherwise
+        # t_scatter diverges from bounce 0 and the footprint records a
+        # different path family than the one the estimator integrated
+        use_compact = 0 < cfg.candidate_k < gmm.n
         o, d, rng_ids = mc_camera_rays(sc, camera, cfg, ids, sample_idx)
         b = o.shape[0]
 
@@ -111,16 +118,25 @@ def _path_membership_fn(cfg: RenderConfig):
         def body(state):
             o, d, thr, alive, bounce, mem = state
             rg = tau_coeffs(gmm, o, d)
+            if use_compact:
+                rg_s, alb_k, _ = compact_candidates(rg, gmm.albedo,
+                                                    cfg.candidate_k)
+            else:
+                rg_s, alb_k = rg, gmm.albedo
             xi = path_uniforms(rng_ids, sample_idx, bounce, 9, cfg.seed)
             target_tau = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
             u_sol = xi[:, 8] if cfg.solver == Solver.UNIFORM else None
             t_sc, scattered = sample_free_flight(
-                rg, target_tau, cfg.solver, cfg.solver_iters, u_sol)
+                rg_s, target_tau, cfg.solver, cfg.solver_iters, u_sol,
+                finisher=cfg.solver_finisher)
 
             # record (integrator.h:616-644): on scatter, every Gaussian
             # whose interval entry precedes the scatter point (all sorted
             # events with t <= t_scatter + tol are enter events of exactly
-            # these); on escape, every forward intersection.
+            # these); on escape, every forward intersection.  Membership
+            # is read off the FULL rg — the reference's event walk records
+            # every pre-scatter event, uncapped — while the path geometry
+            # above follows the renderer's (possibly compacted) solve.
             touched = jnp.where(scattered[:, None],
                                 rg.hit & (rg.t0 <= t_sc[:, None] + 1e-6),
                                 rg.hit)
@@ -128,7 +144,7 @@ def _path_membership_fn(cfg: RenderConfig):
 
             alive_n = alive & scattered
             pos = o + t_sc[:, None] * d
-            albedo = albedo_at_from_rg(rg, gmm.albedo, t_sc)
+            albedo = albedo_at_from_rg(rg_s, alb_k, t_sc)
 
             thr_n = thr * albedo[:, None]
             do_rr = bounce >= cfg.min_scatter
@@ -171,7 +187,12 @@ def pixel_gaussians_paths(scene: Scene, camera, cfg: RenderConfig,
 
     n = w * h
     ch = pick_chunk(cfg, gmm.n)
-    mem = np.zeros((n, gmm.n), bool)
+    counts = np.empty(n, np.int32)
+    out_idx = np.full((n, k), -1, np.int32)
+    # per-chunk membership only: a persistent [H*W, N] bool was ~5.2 GB at
+    # 512^2 x 20k gaussians — exactly the big-scene inverse runs this
+    # multi-bounce footprint exists for.  Counts and first-k indices are
+    # extracted per chunk and the [chunk, N] working set is dropped.
     for start in range(0, n, ch):
         ids = np.minimum(np.arange(start, start + ch, dtype=np.int32),
                          n - 1)
@@ -180,14 +201,13 @@ def pixel_gaussians_paths(scene: Scene, camera, cfg: RenderConfig,
         for s in range(spp):
             acc |= np.asarray(fn(scene, camera, jnp.asarray(ids),
                                  jnp.int32(s)))
-        mem[start:stop] |= acc[: stop - start]
-
-    counts = mem.sum(axis=1).astype(np.int32)
-    out_idx = np.full((n, k), -1, np.int32)
-    px, g = np.nonzero(mem)                       # row-major: g ascending
-    pos = np.arange(len(px)) - np.searchsorted(px, np.arange(n))[px]
-    sel = pos < k
-    out_idx[px[sel], pos[sel]] = g[sel]
+        acc = acc[: stop - start]
+        counts[start:stop] = acc.sum(axis=1).astype(np.int32)
+        px, g = np.nonzero(acc)                   # row-major: g ascending
+        row_first = np.searchsorted(px, np.arange(stop - start))
+        pos = np.arange(len(px)) - row_first[px]
+        sel = pos < k
+        out_idx[start + px[sel], pos[sel]] = g[sel]
     return out_idx, counts
 
 

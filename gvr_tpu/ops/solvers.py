@@ -218,12 +218,20 @@ def _uniform_in_segment(rg: RayGaussians, target, u, iters: int = 24):
 
 
 def sample_free_flight(rg: RayGaussians, target_tau, solver: Solver,
-                       iters: int = 24, u_uniform=None):
+                       iters: int = 24, u_uniform=None,
+                       finisher: bool = False):
     """Sample the free-flight distance t with tau_total(t) = target_tau.
 
     Returns (t_scatter, scattered): t_scatter = NO_SCATTER where the ray
     escapes the medium (total optical depth < target), matching
     ``get_free_flight_distance`` returning -1 (integrator.h:497).
+
+    ``finisher`` gates the per-segment analytic erfinv refinement for
+    ANALYTIC_NEWTON — callers pass ``cfg.solver_finisher`` so the XLA and
+    Pallas paths select the same estimator under one config (the whole-ray
+    single-hit closed form below stays unconditional: it is what
+    distinguishes the ANALYTIC_NEWTON enum from NEWTON and predates the
+    per-segment finisher).
     """
     t_lo, t_hi, tau_max = _bracket(rg)
     scattered = any_hit(rg) & (tau_max > target_tau)
@@ -238,8 +246,10 @@ def sample_free_flight(rg: RayGaussians, target_tau, solver: Solver,
         t_newton = _safeguarded_newton(rg, tgt, t_lo, t_hi, iters,
                                        use_newton=True)
         # per-segment analytic inversion at the iterated root (the
-        # reference default, distance_solvers.h:176-186) ...
-        t_newton = _analytic_finisher(rg, tgt, t_newton)
+        # reference default, distance_solvers.h:176-186), gated exactly
+        # like the Pallas kernels' finisher ...
+        if finisher:
+            t_newton = _analytic_finisher(rg, tgt, t_newton)
         # ... plus the whole-ray single-hit closed form, which is exact
         # regardless of where the iterate landed (gaussian.h:235-297)
         n_hits = jnp.sum(rg.hit.astype(jnp.int32), axis=-1)
@@ -247,7 +257,7 @@ def sample_free_flight(rg: RayGaussians, target_tau, solver: Solver,
         t = jnp.where((n_hits == 1) & ok, t_ana, t_newton)
     elif solver == Solver.UNIFORM:
         assert u_uniform is not None, "UNIFORM solver needs a random number"
-        t = _uniform_in_segment(rg, tgt, u_uniform)
+        t = _uniform_in_segment(rg, tgt, u_uniform, iters)
     else:  # pragma: no cover
         raise ValueError(f"unknown solver {solver}")
 

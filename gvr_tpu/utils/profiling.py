@@ -112,7 +112,8 @@ def path_statistics(scene, camera, cfg, sample_pixels: int = 16384):
             # (multiscatter.py) — without it the UNIFORM ablation asserts
             t_sc, scattered = sample_free_flight(
                 rg, target, cfg.solver, cfg.solver_iters,
-                xi[:, 8] if cfg.solver == Solver.UNIFORM else None)
+                xi[:, 8] if cfg.solver == Solver.UNIFORM else None,
+                finisher=cfg.solver_finisher)
             rays = rays + jnp.sum(alive) + jnp.sum(alive & scattered)
             bounces = bounces + jnp.sum(alive & scattered)
             alive = alive & scattered

@@ -36,7 +36,12 @@ for name in ("mega", "step"):
         for ln in open(f"/tmp/r4q/wf_{name}.log"):
             ln = ln.strip()
             if ln.startswith("{"):
-                rows[name] = json.loads(ln)
+                row = json.loads(ln)
+                # never file tunnel-down fallback rows as A/B results
+                if "LAST-KNOWN-GOOD" in row.get("metric", "") or \
+                        "unavailable" in row.get("metric", ""):
+                    continue
+                rows[name] = row
     except FileNotFoundError:
         pass
 with open("benchmarks/wavefront_r4.json", "w") as f:
@@ -53,8 +58,9 @@ grep -E '^\{"scene"' /tmp/r4q/series.log > benchmarks/series_r4_512_spp16.jsonl
 echo "=== [4/5] 256-spp headline ==="
 timeout 3600 env BENCH_SPP=256 BENCH_WAVEFRONT=$WAVE python bench.py \
     2>&1 | tee /tmp/r4q/headline256.log
-grep -E '^\{' /tmp/r4q/headline256.log | tail -1 \
-    > benchmarks/headline_spp256_r4.json
+grep -E '^\{' /tmp/r4q/headline256.log \
+    | grep -v 'LAST-KNOWN-GOOD\|unavailable' | tail -1 \
+    > benchmarks/headline_spp256_r4.json || true
 
 echo "=== [5/6] full-res parity sweep (incl UNIFORM 512^2, new solver) ==="
 timeout 5400 env PARITY_SPP=256 python scripts/parity_report.py \
