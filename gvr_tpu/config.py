@@ -65,13 +65,15 @@ class RenderConfig:
     solver: Solver = Solver.ANALYTIC_NEWTON
     # fixed solver trip count.  Newton+Illinois measured on 250_random
     # (8192 random in-medium rays, conditioned targets, r4): p99
-    # tau-residual 2.3e-6 at 8 iterations — but p99 hides the tail that
-    # matters: at 8 iters 0.123% of rays carry >1% relative tau residual
-    # (max residual 1.48 — a grossly wrong free-flight root, i.e. bias),
-    # vs 0.012% (max 9.7e-3) at 10.  The reference's 8-iteration Newton
+    # tau-residual looks converged from 8 iterations on — but p99 hides
+    # the tail that matters.  Fraction of rays with >1% relative tau
+    # residual / worst relative residual: 8 iters 0.15% / 5.4;  10 iters
+    # 0.06% / 0.42;  12 iters 0 / 0.004 (tests/test_solvers.py pins this).
+    # A wrong root is BIAS, not variance, so the default is the first
+    # clean count.  The reference's 8-iteration Newton
     # (distance_solvers.h:64) runs per SEGMENT on an already-tight
-    # bracket; this global solve needs the two extra trips.
-    solver_iters: int = 10
+    # bracket; this global solve needs the extra trips.
+    solver_iters: int = 12
     # in-kernel analytic erfinv finisher (exact root when one gaussian is
     # active at the iterate; distance_solvers.h:176-186).  Off by default:
     # at solver_iters=10 the Newton+Illinois root is already converged

@@ -78,3 +78,39 @@ def test_uniform_solver_within_critical_segment(rng):
     t_hi = np.asarray(far_bound(rg))
     assert np.all(np.asarray(t)[good] >= t_lo[good] - 1e-5)
     assert np.all(np.asarray(t)[good] <= t_hi[good] + 1e-5)
+
+
+def test_default_iters_leave_no_biased_root_tail():
+    """Regression for the round-4 solver_iters=8 episode: the p99 tau
+    residual looked converged while a tail of rays carried grossly wrong
+    free-flight roots (bias, not variance).  Pin the TAIL at the
+    production default on the headline fixture: measured frac(rel>1%) /
+    max_rel here is 0.15% / 5.4 at 8 iters, 0.06% / 0.42 at 10, 0 / 0.004
+    at 12 — the bounds below pass from 12 iterations on."""
+    import os
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.scene.scene import load_gmm
+    path = "/root/reference/scenes/gaussians/250_random.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference scenes unavailable")
+    gmm = load_gmm(path).medium
+    rng = np.random.default_rng(11)
+    lo = np.asarray(gmm.mean).min(0) - 0.5
+    hi = np.asarray(gmm.mean).max(0) + 0.5
+    o = rng.uniform(lo, hi, (8192, 3)).astype(np.float32)
+    d = rng.normal(size=(8192, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rg = tau_coeffs(gmm, jnp.asarray(o), jnp.asarray(d))
+    tau_max = np.asarray(tau_up_to(rg, far_bound(rg)))
+    u = rng.uniform(size=8192).astype(np.float32)
+    target = jnp.asarray(u * tau_max * 0.999, jnp.float32)
+
+    iters = RenderConfig().solver_iters
+    t, scattered = sample_free_flight(rg, target, Solver.NEWTON, iters)
+    scat = np.asarray(scattered) & (tau_max > 1e-3)
+    tgt = np.asarray(target)[scat]
+    res = np.abs(np.asarray(tau_up_to(rg, jnp.asarray(t)))[scat] - tgt)
+    rel = res / np.maximum(tgt, 1e-6)
+    frac_bad = float((rel > 0.01).mean())
+    assert frac_bad <= 1e-4, f"biased-root tail: {frac_bad:.5f} of rays >1%"
+    assert float(rel.max()) < 0.05, f"worst relative residual {rel.max():.3f}"
