@@ -66,7 +66,7 @@ echo "=== [5/6] full-res parity sweep (incl UNIFORM 512^2, new solver) ==="
 timeout 5400 env PARITY_SPP=256 python scripts/parity_report.py \
     2>&1 | tee /tmp/r4q/parity.log
 
-echo "=== [6/6] kernel + stage profiles (iters=8 defaults) ==="
+echo "=== [6/6] kernel + stage profiles (production defaults) ==="
 timeout 1800 env PROF_OUT=benchmarks/breakdown_kernel_r4.json \
     python scripts/profile_kernel.py 2>&1 | tee /tmp/r4q/prof_kernel.log
 timeout 3600 env PROF_OUT=benchmarks/breakdown_r4_grid.json \
