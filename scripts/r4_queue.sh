@@ -72,8 +72,11 @@ timeout 1800 env PROF_OUT=benchmarks/breakdown_kernel_r4.json \
 timeout 3600 env PROF_OUT=benchmarks/breakdown_r4_grid.json \
     python scripts/profile_stages.py grid 2>&1 | tee /tmp/r4q/prof_grid.log
 
-echo "=== [7/7] (optional) reference-scale fit artifact ==="
+echo "=== [7/8] (optional) reference-scale fit artifact ==="
 timeout 3600 python scripts/fit_demo.py --size 512 --iters 600 --spp 64 \
     --eval-spp 512 --out /tmp/fit_demo_r4 2>&1 | tee /tmp/r4q/fitA.log
+
+echo "=== [8/8] (optional) MXU-vs-VPU coefficient A/B ==="
+timeout 900 python scripts/ab_mxu_coeffs.py 2>&1 | tee /tmp/r4q/ab_mxu.log
 
 echo "=== queue done at $(date) ==="
