@@ -114,3 +114,66 @@ def test_default_iters_leave_no_biased_root_tail():
     frac_bad = float((rel > 0.01).mean())
     assert frac_bad <= 1e-4, f"biased-root tail: {frac_bad:.5f} of rays >1%"
     assert float(rel.max()) < 0.05, f"worst relative residual {rel.max():.3f}"
+
+
+def test_analytic_finisher_is_exact_where_it_fires(rng):
+    """The per-segment erfinv finisher (distance_solvers.h:176-186) must
+    replace the Newton iterate with a root whose tau residual is at float
+    precision wherever it fires — i.e. ANALYTIC_NEWTON at very few
+    iterations + finisher must beat the same budget without it on scenes
+    where most roots have exactly one active Gaussian."""
+    from gvr_tpu.scene.scene import parse_gmm
+    from gvr_tpu.scene.generators import random_gaussian_scene
+
+    # well-separated small supports -> mostly single-active roots
+    gm = parse_gmm(random_gaussian_scene(
+        40, seed=9, diameter=(0.08, 0.18), density=(2.0, 6.0))).medium
+    o, d = random_rays(rng, 512)
+    rg = tau_coeffs(gm, jnp.asarray(o), jnp.asarray(d))
+    tau_max = np.asarray(tau_up_to(rg, far_bound(rg)))
+    u = rng.uniform(size=512).astype(np.float32)
+    target = jnp.asarray(u * tau_max * 0.999, jnp.float32)
+
+    t_ref, sc_ref = sample_free_flight(rg, target, Solver.NEWTON, 40)
+    t_fin, _ = sample_free_flight(rg, target, Solver.ANALYTIC_NEWTON, 4,
+                                  finisher=True)
+    t_off, _ = sample_free_flight(rg, target, Solver.ANALYTIC_NEWTON, 4,
+                                  finisher=False)
+    m = np.asarray(sc_ref) & (tau_max > 1e-3)
+    assert m.sum() > 100
+    d_fin = np.abs(np.asarray(t_fin) - np.asarray(t_ref))[m]
+    d_off = np.abs(np.asarray(t_off) - np.asarray(t_ref))[m]
+    # the finisher must land most roots at the converged reference even
+    # with a 4-iteration budget...
+    assert np.median(d_fin) < 1e-5, np.median(d_fin)
+    # ... and be a strict improvement over the same budget without it
+    assert np.percentile(d_fin, 90) < np.percentile(d_off, 90)
+
+
+def test_kernel_finisher_matches_xla_finisher(rng):
+    """cfg.solver_finisher selects the SAME estimator on the XLA and
+    Pallas paths (round-4 review: the XLA finisher used to run
+    unconditionally while the kernels gated it)."""
+    from gvr_tpu.scene.scene import parse_gmm
+    from gvr_tpu.scene.generators import random_gaussian_scene
+    from gvr_tpu.kernels.pathtrace import pack_table, bounce_step_pallas
+
+    sc = parse_gmm(random_gaussian_scene(
+        40, seed=9, diameter=(0.08, 0.18), density=(2.0, 6.0)))
+    gm = sc.medium
+    o, d = random_rays(rng, 512)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    xi = jnp.asarray(rng.uniform(size=(512, 9)), jnp.float32)
+
+    rg = tau_coeffs(gm, o, d)
+    target = -jnp.log(jnp.maximum(1.0 - xi[:, 0], 1e-12))
+    t_x, sc_x = sample_free_flight(rg, target, Solver.NEWTON, 6,
+                                   finisher=True)
+    t_p, sc_p, *_ = bounce_step_pallas(
+        pack_table(gm), o, d, xi, sc.lights_p, sc.lights_i, sc.env_color,
+        solver_iters=6, interpret=True, finisher=True)
+    m = np.asarray(sc_x) & np.asarray(sc_p)
+    assert m.sum() > 100
+    dt = np.abs(np.asarray(t_p) - np.asarray(t_x))[m]
+    assert np.median(dt) < 1e-5, np.median(dt)
