@@ -27,6 +27,9 @@ SPP = int(os.environ.get("BENCH_SPP", "64"))
 # 'mega' (persistent megakernel, default) or 'step' (per-bounce wavefront) —
 # lets the TPU queue fall back if the megakernel misbehaves on real hardware
 WAVEFRONT = os.environ.get("BENCH_WAVEFRONT", "")
+# route the quadratic-coefficient bilinears through the MXU
+# (RenderConfig.mxu_coeffs; A/B knob for scripts/ab_mxu_coeffs.py)
+MXU_COEFFS = bool(int(os.environ.get("BENCH_MXU_COEFFS", "0")))
 TARGET_MRAYS = 100.0
 # Bounded tunnel wait: the axon TPU relay occasionally drops the claim and
 # every device op hangs forever (CLAUDE.md).  Probe in a subprocess (a hung
@@ -102,6 +105,7 @@ def main():
     scene = load_gmm(SCENE)
     camera = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
     cfg = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
+                       mxu_coeffs=MXU_COEFFS,
                        **({"wavefront": WAVEFRONT} if WAVEFRONT else {}))
 
     rays_per_path = path_statistics(scene, camera, cfg)["rays_per_path"]
@@ -121,8 +125,7 @@ def main():
         print(f"# mega wavefront failed ({type(e).__name__}); "
               f"falling back to wavefront='step'", file=sys.stderr)
         fell_back = True
-        cfg = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
-                           wavefront="step")
+        cfg = cfg.replace(wavefront="step")
         render_multiscatter(scene, camera, cfg)
 
     t0 = time.time()
@@ -135,6 +138,7 @@ def main():
     row = {
         "metric": f"Mrays/sec/chip multiscatter {os.path.basename(SCENE)} "
                   f"@{SIZE}x{SIZE} spp{SPP} wf={cfg.wavefront}"
+                  f"{' mxu-coeffs' if MXU_COEFFS else ''}"
                   f"{' (mega-fallback)' if fell_back else ''} "
                   f"({rays_per_path:.2f} rays/path)",
         "value": round(mrays, 3),
@@ -149,7 +153,7 @@ def main():
     # recorded row stays self-describing when replayed as last-known-good.
     if "BENCH_SCENE" not in os.environ and "BENCH_SIZE" not in os.environ \
             and "BENCH_SPP" not in os.environ \
-            and "BENCH_WAVEFRONT" not in os.environ:
+            and "BENCH_WAVEFRONT" not in os.environ and not MXU_COEFFS:
         try:
             import jax
             if jax.devices()[0].platform != "cpu":

@@ -83,6 +83,16 @@ class RenderConfig:
     # always-on finisher (single-cell brackets make it both cheap and
     # frequently applicable there).
     solver_finisher: bool = False
+    # route the dense kernels' quadratic-coefficient bilinears through
+    # the MXU as one [2N, 16] x [16, blk] contraction (pack_table
+    # precomputes the weight columns; kernels/pathtrace._coeffs_mxu)
+    # instead of the VPU FMA chain.  Off by default pending the
+    # on-silicon A/B (scripts/ab_mxu_coeffs.py): Mosaic lowers the f32
+    # dot via multi-pass bf16 and the quadratics are precision-critical
+    # geometry (docs/PERF_STUDIES.md #4).  Applies to the small-N dense
+    # step and mega wavefronts; the grid and big-N kernels keep the FMA
+    # chain (their table views carry no weight columns).
+    mxu_coeffs: bool = False
     # grid-engine in-cell solve trip count: the bracket is one cell
     # crossing and the analytic erfinv finisher handles the (common)
     # single-active case exactly, so 6 iterations measure max |dt| ~9e-6

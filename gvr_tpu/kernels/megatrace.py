@@ -69,16 +69,19 @@ def camera_vector(camera) -> jnp.ndarray:
 def _make_mega_kernel(cfg_t, lights_p, lights_i, env_color, n_lights,
                       pinhole: bool):
     """cfg_t: (w, h, spp, n_strat, seed, solver_iters, min_scatter,
-    rr_cap, rr_tail_after, rr_cap_tail, max_bounces, finisher)."""
+    rr_cap, rr_tail_after, rr_cap_tail, max_bounces, finisher,
+    mxu_coeffs)."""
     (w, h, spp, n_strat, seed, solver_iters, min_scatter, rr_cap,
-     rr_tail_after, rr_cap_tail, max_bounces, finisher) = cfg_t
+     rr_tail_after, rr_cap_tail, max_bounces, finisher,
+     mxu_coeffs) = cfg_t
     sd = seed & 0xFFFFFFFF
     seed_mix, seed_raw = _mix32_py(sd), sd
     w_ne = float(n_lights + 1) if n_lights else 1.0
     env = env_color
 
     def kernel(cam_ref, tab_ref, ids_ref, pix_ref, out_ref):
-        col = lambda f: tab_ref[:, f:f + 1]            # [N, 1]
+        col = lambda f, hi=None: (tab_ref[:, f:f + 1] if hi is None
+                                  else tab_ref[:, f:hi])   # [N, 1]
         ids = ids_ref[0:1, :]                          # [1, blk] int32
         pid = ids.astype(jnp.uint32)
         # pixel coordinates precomputed by the caller: Mosaic rejects
@@ -178,7 +181,7 @@ def _make_mega_kernel(cfg_t, lights_p, lights_i, env_color, n_lights,
              _fin) = _bounce_core(
                 col, ox, oy, oz, dx, dy, dz, xi[0], xi[1], xi[2],
                 xi[3], xi[4], lights_p, lights_i, env, solver_iters,
-                n_lights, finisher)
+                n_lights, finisher, mxu_coeffs)
 
             escaped = alive & ~scattered
             ax = ax + jnp.where(escaped, tx * env[0], 0.0)

@@ -105,7 +105,15 @@ def pallas_available() -> bool:
 
 def pack_table(gmm: GaussianMixture):
     """[Np, 128] feature table, Np = N rounded up to 8.  Pure jnp, so it
-    traces under jit (the fit loop repacks updated Gaussians every step)."""
+    traces under jit (the fit loop repacks updated Gaussians every step).
+
+    Columns 16:48 hold the precomputed MXU coefficient weights (the
+    ``mxu_coeffs`` path, docs/PERF_STUDIES.md #4): the quadratic
+    coefficients are bilinear in (gaussian params) x (ray features), so
+    a = W_a . F and b = W_b . F with a 16-term feature contraction the
+    MXU can absorb.  W_a lives in 16:32, W_b (factor 2 folded in) in
+    32:48; both are derived from the already-padded columns 0:8 so the
+    padding rows' a/b match the FMA chain's exactly."""
     n = gmm.n
     np_ = max(8, ((n + 7) // 8) * 8)
     rows = jnp.concatenate([
@@ -121,6 +129,15 @@ def pack_table(gmm: GaussianMixture):
     tab = tab.at[:n, :16].set(rows)
     # benign padding: identity quadratic with zero density
     tab = tab.at[n:, 0:3].set(1.0)
+    # MXU weight rows, matching _coeffs_mxu's feature order
+    zeros = lambda k: jnp.zeros((np_, k), jnp.float32)
+    w_a = jnp.concatenate(
+        [tab[:, 0:3], 2.0 * tab[:, 3:6], zeros(10)], axis=1)
+    w_b = jnp.concatenate(
+        [zeros(6), 2.0 * tab[:, 0:6], -2.0 * tab[:, 6:9], zeros(1)],
+        axis=1)
+    tab = tab.at[:, 16:32].set(w_a)
+    tab = tab.at[:, 32:48].set(w_b)
     return tab
 
 
@@ -143,6 +160,28 @@ def _coeffs(col, ox, oy, oz, dx, dy, dz):
     b = 2.0 * (bil(ox, oy, oz, dx, dy, dz) - d_q)
     del c0
     return a, b
+
+
+def _coeffs_mxu(col, ox, oy, oz, dx, dy, dz):
+    """MXU twin of _coeffs: one [2Np, 16] x [16, blk] contraction using
+    the weight columns pack_table precomputes at 16:48 (a and b rows
+    stacked).  ~20% of the per-pair VPU flops move to the MXU; the
+    numerics depend on how Mosaic lowers the f32 dot (multi-pass bf16 at
+    Precision.HIGHEST), so this path is gated by RenderConfig.mxu_coeffs
+    pending the on-silicon A/B (scripts/ab_mxu_coeffs.py,
+    docs/PERF_STUDIES.md #4).  ``col`` must accept a (lo, hi) slice."""
+    f = jnp.concatenate([
+        dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,
+        ox * dx, oy * dy, oz * dz,
+        ox * dy + oy * dx, ox * dz + oz * dx, oy * dz + oz * dy,
+        dx, dy, dz, jnp.zeros_like(dx)], axis=0)          # [16, blk]
+    w = jnp.concatenate([col(16, 32), col(32, 48)], axis=0)  # [2Np, 16]
+    ab = jax.lax.dot_general(
+        w, f, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    npad = ab.shape[0] // 2
+    return ab[:npad], ab[npad:]
 
 
 def _interval(col, ox, oy, oz, dx, dy, dz, a, b):
@@ -169,9 +208,10 @@ def _interval(col, ox, oy, oz, dx, dy, dz, a, b):
     return t0, t1, m2, ok
 
 
-def _tau_nee(col, px, py, pz, wx, wy, wz, tmax):
+def _tau_nee(col, px, py, pz, wx, wy, wz, tmax, mxu_coeffs=False):
     """One-shot clipped optical depth along shadow/env rays: [1, blk]."""
-    a, b = _coeffs(col, px, py, pz, wx, wy, wz)
+    coeffs = _coeffs_mxu if mxu_coeffs else _coeffs
+    a, b = coeffs(col, px, py, pz, wx, wy, wz)
     dens_norm = col(10)
     a_s = jnp.maximum(a, 1e-30)
     t0, t1, m2, ok = _interval(col, px, py, pz, wx, wy, wz, a, b)
@@ -211,13 +251,17 @@ def _finisher_root(tgt, tau_done, n_act, nxt, prv, sa1, zoff1, pref1,
 
 def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
                  u_env1, u_env2, lights_p, lights_i, env_color,
-                 solver_iters, n_lights, finisher: bool = False):
+                 solver_iters, n_lights, finisher: bool = False,
+                 mxu_coeffs: bool = False):
     """The bounce math on [1, blk] ray rows against [N, 1] feature
     columns: free-flight solve + albedo + NEE.  Shared by the per-bounce
     kernel below and the persistent wavefront megakernel
     (kernels/megatrace.py).  Returns (t_sc, scattered, albedo,
-    lix, liy, liz, tau_tot, fin) — all [1, blk]."""
-    a, b = _coeffs(col, ox, oy, oz, dx, dy, dz)
+    lix, liy, liz, tau_tot, fin) — all [1, blk].  ``mxu_coeffs`` routes
+    the quadratic-coefficient bilinears through the MXU (needs a
+    (lo, hi)-capable ``col``)."""
+    coeffs = _coeffs_mxu if mxu_coeffs else _coeffs
+    a, b = coeffs(col, ox, oy, oz, dx, dy, dz)
     dens_norm = col(10)
     a_s = jnp.maximum(a, 1e-30)
     t0, t1, m2, ok = _interval(col, ox, oy, oz, dx, dy, dz, a, b)
@@ -347,7 +391,7 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
         tmax = jnp.where(is_env, 1e8, dist)
         inv_d2 = inv_dist * inv_dist
 
-    tau_nee = _tau_nee(col, px, py, pz, wx, wy, wz, tmax)
+    tau_nee = _tau_nee(col, px, py, pz, wx, wy, wz, tmax, mxu_coeffs)
     tr = jnp.exp(-tau_nee)
     env = env_color
     lix = jnp.where(is_env, tr * (env[0] * FOUR_PI), tr * radx * inv_d2)
@@ -357,18 +401,19 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
 
 
 def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
-                 finisher: bool = False):
+                 finisher: bool = False, mxu_coeffs: bool = False):
     """Build the bounce kernel with scene lights baked in as constants."""
 
     def kernel(tab_ref, rays_ref, out_ref):
-        col = lambda f: tab_ref[:, f:f + 1]            # [N, 1]
+        col = lambda f, hi=None: (tab_ref[:, f:f + 1] if hi is None
+                                  else tab_ref[:, f:hi])   # [N, 1]
         row = lambda f: rays_ref[f:f + 1, :]           # [1, blk]
         (t_sc, scattered, albedo, lix, liy, liz, tau_tot,
          fin) = _bounce_core(
             col, row(0), row(1), row(2), row(3), row(4), row(5),
             row(6), row(7), row(8), row(9), row(10),
             lights_p, lights_i, env_color, solver_iters, n_lights,
-            finisher)
+            finisher, mxu_coeffs)
         out_ref[0:1, :] = t_sc
         out_ref[1:2, :] = scattered.astype(jnp.float32)
         out_ref[2:3, :] = albedo
@@ -383,13 +428,13 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
 
 @functools.partial(jax.jit, static_argnames=(
     "solver_iters", "lights_p", "lights_i", "env_color", "block",
-    "finisher",
+    "finisher", "mxu_coeffs",
     "interpret"))
 def _bounce_call(table, rays, lights_p, lights_i, env_color,
                  solver_iters: int, block: int, interpret: bool,
-                 finisher: bool = False):
+                 finisher: bool = False, mxu_coeffs: bool = False):
     kernel = _make_kernel(lights_p, lights_i, env_color, solver_iters,
-                          len(lights_p), finisher)
+                          len(lights_p), finisher, mxu_coeffs)
     b = rays.shape[1]
     grid = (b // block,)
     return pl.pallas_call(
@@ -438,7 +483,8 @@ def pallas_supported_n(n: int) -> bool:
 
 def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,
                        solver_iters: int = 14, block: int = 0,
-                       interpret: bool = False, finisher: bool = False):
+                       interpret: bool = False, finisher: bool = False,
+                       mxu_coeffs: bool = False):
     """One fused bounce for a ray batch.
 
     table: [Np, 128] from pack_table; o, d: [B,3]; xi: [B, >=5] uniforms
@@ -465,7 +511,7 @@ def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,
         env = tuple(float(v) for v in np.asarray(env_color))
 
     out = _bounce_call(table, rays, lp, li_, env, solver_iters, block,
-                       interpret, finisher)
+                       interpret, finisher, mxu_coeffs)
     out = out[:, :bsz]
     return (out[0], out[1] > 0.5, out[2],
             jnp.stack([out[3], out[4], out[5]], axis=-1), out[6])

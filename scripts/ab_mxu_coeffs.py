@@ -21,6 +21,11 @@ Two questions only silicon can answer (docs/PERF_STUDIES.md #4):
      working set, REP-chained to defeat dispatch pipelining, baseline
      subtracted per scripts/profile_kernel.py methodology).
 
+Both variants run the PRODUCTION code paths (kernels/pathtrace._coeffs /
+._coeffs_mxu, weight columns from pack_table), so a win here is adoptable
+by flipping RenderConfig.mxu_coeffs; the end-to-end A/B is
+``BENCH_MXU_COEFFS=1 python bench.py`` vs the default.
+
 Run ON TPU (tunnel up), after the r4 queue:
     python scripts/ab_mxu_coeffs.py
 """
@@ -48,60 +53,21 @@ import gvr_tpu.kernels.pathtrace as pt
 N, B, BLOCK, REP = 256, 1 << 15, 512, 64
 
 
-def _ray_feats(ox, oy, oz, dx, dy, dz):
-    """[10, blk] ray features such that a = W_a @ F and b = W_b @ F with
-    per-gaussian weight rows built from (icpack, q)."""
-    return jnp.concatenate([
-        dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,      # a terms
-        ox * dx, oy * dy, oz * dz,
-        jnp.ones_like(dx),                                         # q . d row
-    ], axis=0)
-
-
-def _coeffs_mxu(tab_ref, ox, oy, oz, dx, dy, dz):
-    """a, b via two [N, 10] x [10, blk] dots (feeds the MXU).  The cross
-    terms of b (o_i d_j + o_j d_i) need 3 more feature rows; fold them by
-    reusing the a-row features with swapped weights:
-    b/2 = sum_ij IC_ij o_i d_j - q.d."""
-    ic = [tab_ref[:, k:k + 1] for k in range(6)]   # [N,1] each
-    qx, qy, qz = (tab_ref[:, k:k + 1] for k in (6, 7, 8))
-    w_a = jnp.concatenate([ic[0], ic[1], ic[2],
-                           2.0 * ic[3], 2.0 * ic[4], 2.0 * ic[5],
-                           jnp.zeros_like(ic[0]), jnp.zeros_like(ic[0]),
-                           jnp.zeros_like(ic[0]), jnp.zeros_like(ic[0])],
-                          axis=1)                  # [N, 10]
-    feats_a = _ray_feats(ox, oy, oz, dx, dy, dz)   # [10, blk]
-    a = jax.lax.dot_general(
-        w_a, feats_a, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    # b: full bilinear o^T IC d needs ox*dy etc. — build its own features
-    feats_b = jnp.concatenate([
-        ox * dx, oy * dy, oz * dz,
-        ox * dy + oy * dx, ox * dz + oz * dx, oy * dz + oz * dy,
-        dx, dy, dz, jnp.zeros_like(dx)], axis=0)
-    w_b = jnp.concatenate([ic[0], ic[1], ic[2], ic[3], ic[4], ic[5],
-                           -qx, -qy, -qz, jnp.zeros_like(qx)], axis=1)
-    b = 2.0 * jax.lax.dot_general(
-        w_b, feats_b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    return a, b
-
-
 def make_kernel(variant: str):
     def kernel(tab_ref, rays_ref, out_ref):
         row = lambda f: rays_ref[f:f + 1, :]
+        col = lambda f, hi=None: (tab_ref[:, f:f + 1] if hi is None
+                                  else tab_ref[:, f:hi])
         ox, oy, oz = row(0), row(1), row(2)
         dx, dy, dz = row(3), row(4), row(5)
+        # the PRODUCTION implementations (kernels/pathtrace.py), so the
+        # A/B measures exactly what RenderConfig.mxu_coeffs would run
         if variant == "mxu":
-            a, b = _coeffs_mxu(tab_ref, ox, oy, oz, dx, dy, dz)
+            a, b = pt._coeffs_mxu(col, ox, oy, oz, dx, dy, dz)
         else:
-            col = lambda f: tab_ref[:, f:f + 1]
             a, b = pt._coeffs(col, ox, oy, oz, dx, dy, dz)
         # downstream consumer so neither variant is dead-code eliminated:
         # the interval geometry (the precision-sensitive part)
-        col = lambda f: tab_ref[:, f:f + 1]
         t0, t1, m2, ok = pt._interval(col, ox, oy, oz, dx, dy, dz, a, b)
         out_ref[0:1, :] = jnp.sum(jnp.where(ok, t0, 0.0), 0, keepdims=True)
         out_ref[1:2, :] = jnp.sum(jnp.where(ok, t1, 0.0), 0, keepdims=True)

@@ -78,5 +78,27 @@ timeout 3600 python scripts/fit_demo.py --size 512 --iters 600 --spp 64 \
 
 echo "=== [8/8] (optional) MXU-vs-VPU coefficient A/B ==="
 timeout 900 python scripts/ab_mxu_coeffs.py 2>&1 | tee /tmp/r4q/ab_mxu.log
+# end-to-end: same production render with RenderConfig.mxu_coeffs on
+# (the [2/5] wf A/B logs provide the off-rows at identical settings)
+timeout 1800 env BENCH_SPP=16 BENCH_MXU_COEFFS=1 BENCH_WAIT_S=60 \
+    python bench.py 2>&1 | tee /tmp/r4q/mxu_e2e.log
+python - <<'EOF'
+import json
+rows = {}
+for name, path in (("kernel_ab", "/tmp/r4q/ab_mxu.log"),
+                   ("e2e_mxu", "/tmp/r4q/mxu_e2e.log"),
+                   ("e2e_fma", "/tmp/r4q/wf_mega.log")):
+    try:
+        for ln in open(path):
+            ln = ln.strip()
+            if ln.startswith("{") and "LAST-KNOWN-GOOD" not in ln \
+                    and "unavailable" not in ln:
+                rows.setdefault(name, []).append(json.loads(ln))
+    except FileNotFoundError:
+        pass
+with open("benchmarks/mxu_coeffs_r4.json", "w") as f:
+    json.dump(rows, f, indent=1)
+print("mxu A/B rows:", json.dumps(rows))
+EOF
 
 echo "=== queue done at $(date) ==="

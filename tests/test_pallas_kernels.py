@@ -157,6 +157,97 @@ def test_megakernel_matches_step_wavefront(rng):
     np.testing.assert_allclose(img_mega, img_xla, atol=1e-4)
 
 
+def test_mxu_coeffs_match_fma_against_f64(rng):
+    """The MXU coefficient contraction (_coeffs_mxu + pack_table's weight
+    columns 16:48) and the VPU FMA chain (_coeffs) must both sit within
+    f32 rounding of a float64 oracle — pinned OUTSIDE Pallas so the test
+    checks the math, not the backend's dot lowering (the on-silicon
+    multi-pass-bf16 question is scripts/ab_mxu_coeffs.py's job)."""
+    from gvr_tpu.kernels.pathtrace import pack_table, _coeffs, _coeffs_mxu
+    sc = parse_gmm(random_gaussian_scene(120, seed=4,
+                                         diameter=(0.05, 0.5),
+                                         density=(0.5, 3.0)))
+    tab = pack_table(sc.medium)
+    o, d, _ = _random_rays(512, jax.random.key(3))
+    ox, oy, oz = (o[:, k][None, :] for k in range(3))
+    dx, dy, dz = (d[:, k][None, :] for k in range(3))
+    col = lambda f, hi=None: (tab[:, f:f + 1] if hi is None
+                              else tab[:, f:hi])
+    a_f, b_f = _coeffs(col, ox, oy, oz, dx, dy, dz)
+    a_m, b_m = _coeffs_mxu(col, ox, oy, oz, dx, dy, dz)
+    assert a_m.shape == a_f.shape and b_m.shape == b_f.shape
+
+    t64 = np.asarray(tab, np.float64)
+    o64 = np.asarray(o, np.float64).T[:, None, :]   # [3, 1, B]
+    d64 = np.asarray(d, np.float64).T[:, None, :]
+    ic = t64[:, 0:6][..., None]                      # [N, 6, 1] -> cols
+    q = t64[:, 6:9][..., None]
+    terms_a = np.stack([
+        ic[:, 0] * d64[0] * d64[0], ic[:, 1] * d64[1] * d64[1],
+        ic[:, 2] * d64[2] * d64[2],
+        2 * ic[:, 3] * d64[0] * d64[1], 2 * ic[:, 4] * d64[0] * d64[2],
+        2 * ic[:, 5] * d64[1] * d64[2]])
+    terms_b = 2 * np.stack([
+        ic[:, 0] * o64[0] * d64[0], ic[:, 1] * o64[1] * d64[1],
+        ic[:, 2] * o64[2] * d64[2],
+        ic[:, 3] * (o64[0] * d64[1] + o64[1] * d64[0]),
+        ic[:, 4] * (o64[0] * d64[2] + o64[2] * d64[0]),
+        ic[:, 5] * (o64[1] * d64[2] + o64[2] * d64[1]),
+        -(q[:, 0] * d64[0] + q[:, 1] * d64[1] + q[:, 2] * d64[2])])
+    a64, b64 = terms_a.sum(0), terms_b.sum(0)
+    # error scale = sum of |term| (the correct bound under cancellation)
+    sc_a = np.abs(terms_a).sum(0) + 1e-6
+    sc_b = np.abs(terms_b).sum(0) + 1e-6
+    for got, want, scale in ((a_f, a64, sc_a), (a_m, a64, sc_a),
+                             (b_f, b64, sc_b), (b_m, b64, sc_b)):
+        rel = np.abs(np.asarray(got, np.float64) - want) / scale
+        assert rel.max() < 2e-6, rel.max()
+
+
+def test_small_kernel_mxu_matches_xla(rng):
+    """Full bounce through the MXU coefficient path (interpret mode) must
+    reproduce the XLA reference like the FMA-chain kernel does."""
+    from gvr_tpu.kernels.pathtrace import pack_table, bounce_step_pallas
+    sc = parse_gmm(random_gaussian_scene(120, seed=1,
+                                         diameter=(0.1, 0.4),
+                                         density=(0.5, 2.0)))
+    g = sc.medium
+    o, d, xi = _random_rays(512, jax.random.key(0))
+    outs = bounce_step_pallas(pack_table(g), o, d, xi, sc.lights_p,
+                              sc.lights_i, sc.env_color, interpret=True,
+                              mxu_coeffs=True)
+    _check(outs, _xla_reference(sc, g, o, d, xi))
+
+
+def test_mxu_coeffs_wavefronts_match_xla(rng):
+    """RenderConfig.mxu_coeffs end-to-end: mega and step share the MXU
+    path bit-for-bit, and both stay within estimator tolerance of the
+    pure-XLA wavefront (same bars as the FMA-chain equivalence test)."""
+    import dataclasses
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.integrators.multiscatter import wavefront_pixels
+
+    sc = parse_gmm(random_gaussian_scene(24, seed=7,
+                                         diameter=(0.2, 0.6),
+                                         density=(0.5, 2.0)))
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    cfg = RenderConfig(width=16, height=16, spp=9, max_bounces=6,
+                       pallas="interpret", wavefront="mega",
+                       mxu_coeffs=True)
+    ids = jnp.arange(256, dtype=jnp.int32)
+
+    img_mega = np.asarray(wavefront_pixels(sc, cam, cfg, ids))
+    cfg_step = dataclasses.replace(cfg, wavefront="step")
+    img_step = np.asarray(wavefront_pixels(sc, cam, cfg_step, ids))
+    cfg_xla = dataclasses.replace(cfg, pallas="off", mxu_coeffs=False)
+    img_xla = np.asarray(wavefront_pixels(sc, cam, cfg_xla, ids))
+
+    assert np.isfinite(img_mega).all()
+    np.testing.assert_allclose(img_mega, img_step, atol=1e-5)
+    np.testing.assert_allclose(img_mega, img_xla, atol=1e-4)
+
+
 def test_megakernel_matches_xla_deep_bounces(rng):
     """Deep-path variant: early RR (min_scatter=1) and the two-stage RR
     tail (rr_tail_after=3) both active within max_bounces=10 — exercises
