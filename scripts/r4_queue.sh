@@ -41,6 +41,9 @@ else
   timeout 2400 env BENCH_WAVEFRONT=$WAVE python bench.py \
       2>&1 | tee /tmp/r4q/bench.log
 fi
+grep -E '^\{' /tmp/r4q/bench.log 2>/dev/null \
+    | grep -v 'LAST-KNOWN-GOOD\|unavailable' | tail -1 \
+    > benchmarks/headline_spp64_r4.json || true
 
 echo "=== [2/8] wavefront A/B: mega vs step @1024^2 spp16 ==="
 has_row /tmp/r4q/wf_mega.log || \

@@ -27,6 +27,7 @@ print('alive', float(x))
   attempt=$((attempt+1))
   echo "queue attempt $attempt starting at $(date)" >> /tmp/r4q/watch.log
   bash scripts/r4_queue.sh > /tmp/r4q/queue_a$attempt.log 2>&1
+  python scripts/update_bench_docs.py >> /tmp/r4q/watch.log 2>&1
   if python scripts/r4_artifacts_ok.py >> /tmp/r4q/watch.log 2>&1; then
     echo "r4 capture COMPLETE at $(date)" >> /tmp/r4q/watch.log
     break
