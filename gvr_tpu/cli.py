@@ -163,7 +163,7 @@ def main(argv=None):
     pr.add_argument("--env-samples", dest="env_samples", type=int, default=20)
     pr.add_argument("--solver", default="analytic_newton",
                     choices=["newton", "bisection", "analytic_newton",
-                             "uniform"])
+                             "analytic_bisection", "uniform"])
     pr.add_argument("--pallas", default="auto",
                     choices=["auto", "on", "off", "interpret"])
     pr.add_argument("--engine", default="auto",

@@ -30,6 +30,9 @@ class Solver(enum.Enum):
       segment, invert analytically via erfinv (reference
       ``gaussian.h:235-297``); otherwise safeguarded Newton.  The reference
       default ``ANALYTIC_PLUS_NEWTON`` (``distance_solvers.h:146``).
+    * ``ANALYTIC_BISECTION``: the same analytic closed form with a plain
+      bisection fallback (reference ``ANALYTIC_PLUS_BISECTION``,
+      ``distance_solvers.h:166-174``) — ablation only.
     * ``UNIFORM``: uniform sample inside the critical segment (reference
       ``distance_solvers.h:132-137``) — ablation only.
     """
@@ -37,6 +40,7 @@ class Solver(enum.Enum):
     NEWTON = "newton"
     BISECTION = "bisection"
     ANALYTIC_NEWTON = "analytic_newton"
+    ANALYTIC_BISECTION = "analytic_bisection"
     UNIFORM = "uniform"
 
 

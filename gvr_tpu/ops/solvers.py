@@ -22,6 +22,9 @@ Solvers:
                  ANALYTIC_PLUS_NEWTON, distance_solvers.h:176-186), plus
                  the whole-ray single-hit closed form
                  (gaussian.h:235-297).
+  * analytic_bisection — the same analytic inversions over a plain
+                 bisection iterate (reference ANALYTIC_PLUS_BISECTION,
+                 distance_solvers.h:166-174); ablation only.
   * uniform    — uniform sample inside the critical segment
                  (distance_solvers.h:132-137); needs the sorted event
                  boundaries, kept for the solver-ablation parity tests.
@@ -242,11 +245,13 @@ def sample_free_flight(rg: RayGaussians, target_tau, solver: Solver,
         t = _safeguarded_newton(rg, tgt, t_lo, t_hi, iters, use_newton=False)
     elif solver == Solver.NEWTON:
         t = _safeguarded_newton(rg, tgt, t_lo, t_hi, iters, use_newton=True)
-    elif solver == Solver.ANALYTIC_NEWTON:
-        t_newton = _safeguarded_newton(rg, tgt, t_lo, t_hi, iters,
-                                       use_newton=True)
+    elif solver in (Solver.ANALYTIC_NEWTON, Solver.ANALYTIC_BISECTION):
+        t_newton = _safeguarded_newton(
+            rg, tgt, t_lo, t_hi, iters,
+            use_newton=solver == Solver.ANALYTIC_NEWTON)
         # per-segment analytic inversion at the iterated root (the
-        # reference default, distance_solvers.h:176-186), gated exactly
+        # reference default, distance_solvers.h:176-186; the bisection
+        # variant is ANALYTIC_PLUS_BISECTION, :166-174), gated exactly
         # like the Pallas kernels' finisher ...
         if finisher:
             t_newton = _analytic_finisher(rg, tgt, t_newton)

@@ -81,7 +81,8 @@ def test_single_scatter_matches_multiscatter_thin():
 
 
 @pytest.mark.parametrize("solver", [Solver.NEWTON, Solver.BISECTION,
-                                    Solver.ANALYTIC_NEWTON])
+                                    Solver.ANALYTIC_NEWTON,
+                                    Solver.ANALYTIC_BISECTION])
 def test_solver_choice_does_not_change_image(solver):
     """Exact solvers must agree on the rendered image given identical seeds
     (the ablation of distance_solvers.h, minus UNIFORM which is biased)."""

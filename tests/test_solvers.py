@@ -16,7 +16,8 @@ from test_gaussian_math import make_pair, random_rays
 
 
 @pytest.mark.parametrize("solver", [Solver.NEWTON, Solver.BISECTION,
-                                    Solver.ANALYTIC_NEWTON])
+                                    Solver.ANALYTIC_NEWTON,
+                                    Solver.ANALYTIC_BISECTION])
 def test_solver_inverts_tau(rng, solver):
     om, gm = make_pair(rng, n=6)
     o, d = random_rays(rng, 128)
