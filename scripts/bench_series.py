@@ -38,11 +38,24 @@ def main():
 
     camera = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
     results = []
-    for name in SCENES:
-        path = os.path.join(BASE, name)
-        if not os.path.exists(path):
-            continue
-        scene = load_gmm(path)
+
+    def scene_iter():
+        for name in SCENES:
+            path = os.path.join(BASE, name)
+            if os.path.exists(path):
+                yield name, load_gmm(path)
+        # one step beyond the reference's largest fixture: its
+        # 40k_random.txt is a lost blob (.MISSING_LARGE_BLOBS), so
+        # regenerate the same make_random.py distribution.  Last in the
+        # series on purpose — the 7 reference rows land even if this one
+        # dies.  BENCH_40K=0 skips it.
+        if int(os.environ.get("BENCH_40K", "1")):
+            from gvr_tpu.scene.scene import parse_gmm
+            from gvr_tpu.scene.generators import random_gaussian_scene
+            yield ("40k_random_generated",
+                   parse_gmm(random_gaussian_scene(40_000, seed=12)))
+
+    for name, scene in scene_iter():
         wf = os.environ.get("BENCH_WAVEFRONT", "")
         cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
                            **({"wavefront": wf} if wf else {}))

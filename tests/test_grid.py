@@ -220,6 +220,29 @@ def test_grid_cache_key_is_content_hash():
     assert not np.array_equal(np.asarray(g1.table), np.asarray(g2.table))
 
 
+def _exact_span_max(gmm):
+    """(side, max solve-view span) over the FULL scene at the cost-model's
+    chosen side — the exact quantity grid_for compares against S_CAP_MAX."""
+    from gvr_tpu.accel.grid import choose_side, _bin_gaussians, _tight_mask
+    bmin, bmax = (np.asarray(a, np.float64) for a in gmm.aabbs())
+    lo = bmin.min(0) - 1e-4
+    hi = bmax.max(0) + 1e-4
+    ic6 = np.asarray(gmm.icpack(), np.float64)
+    mean = np.asarray(gmm.mean, np.float64)
+    side = choose_side(bmin, bmax, lo, hi, ic6, mean)
+
+    cell = (hi - lo) / side
+    i0 = np.clip(((bmin - lo) / cell).astype(np.int64), 0, side - 1)
+    i1 = np.clip(((bmax - lo) / cell).astype(np.int64), 0, side - 1)
+    cid, gid, ixyz = _bin_gaussians(i0, i1, side, side)
+    cid = cid[_tight_mask(ic6, mean, gid, ixyz, lo, cell)]
+    counts = np.bincount(cid, minlength=side ** 3)
+    gend = np.cumsum(counts)
+    gfirst = gend - counts
+    span = np.where(counts > 0, (gend - 1) // H - gfirst // H + 1, 0)
+    return side, int(span.max())
+
+
 @pytest.mark.parametrize("name,min_n", [("5000_random", 2000),
                                         ("10k_random", 2000),
                                         ("20k_bias", 2000)])
@@ -234,29 +257,31 @@ def test_big_fixtures_are_grid_eligible(name, min_n):
     selection path is engine_for -> grid_for -> s_cap <= S_CAP_MAX."""
     import os
     from gvr_tpu.scene.scene import load_gmm
-    from gvr_tpu.accel.grid import choose_side, S_CAP_MAX, _bin_gaussians, \
-        _tight_mask
+    from gvr_tpu.accel.grid import S_CAP_MAX
     path = f"/root/reference/scenes/gaussians/{name}.txt"
     if not os.path.exists(path):
         pytest.skip("reference scenes unavailable")
     gmm = load_gmm(path).medium
     assert gmm.n >= min_n  # below GRID_MIN_N the engine stays dense anyway
+    side, span_max = _exact_span_max(gmm)
+    assert span_max <= S_CAP_MAX, (name, side, span_max)
 
-    bmin, bmax = (np.asarray(a, np.float64) for a in gmm.aabbs())
-    lo = bmin.min(0) - 1e-4
-    hi = bmax.max(0) + 1e-4
-    ic6 = np.asarray(gmm.icpack(), np.float64)
-    mean = np.asarray(gmm.mean, np.float64)
-    side = choose_side(bmin, bmax, lo, hi, ic6, mean)
 
-    # exact (full-scene, unsubsampled) s_cap at the chosen side
-    cell = (hi - lo) / side
-    i0 = np.clip(((bmin - lo) / cell).astype(np.int64), 0, side - 1)
-    i1 = np.clip(((bmax - lo) / cell).astype(np.int64), 0, side - 1)
-    cid, gid, ixyz = _bin_gaussians(i0, i1, side, side)
-    cid = cid[_tight_mask(ic6, mean, gid, ixyz, lo, cell)]
-    counts = np.bincount(cid, minlength=side ** 3)
-    gend = np.cumsum(counts)
-    gfirst = gend - counts
-    span = np.where(counts > 0, (gend - 1) // H - gfirst // H + 1, 0)
-    assert span.max() <= S_CAP_MAX, (name, side, int(span.max()))
+def test_40k_scene_is_grid_eligible_and_builds():
+    """Scale beyond the reference's largest checked-in fixture: its
+    40k_random.txt is a lost blob (.MISSING_LARGE_BLOBS, SURVEY §4.5), so
+    regenerate the same distribution (tests/make_random.py defaults) at
+    40k Gaussians and require (a) the cost model keeps the scene
+    grid-eligible and (b) the grid actually builds with a consistent
+    entry count — the framework's scaling story doesn't stop at 20k."""
+    from gvr_tpu.accel.grid import S_CAP_MAX
+    gmm = parse_gmm(random_gaussian_scene(40_000, seed=12)).medium
+    assert gmm.n == 40_000
+    side, span_max = _exact_span_max(gmm)
+    assert span_max <= S_CAP_MAX, (side, span_max)
+
+    g = build_grid(gmm)
+    counts = np.asarray(g.cell_gcnt)
+    assert counts.sum() == g.n_entries
+    assert counts.sum() > 40_000      # multi-cell supports insert >n rows
+    assert counts.max() <= g.s_cap * H
