@@ -48,6 +48,28 @@ def test_cli_animate(tmp_path):
     assert raw.startswith(b"GIF89a") and raw.endswith(b"\x3b")
 
 
+def test_cli_fit(tmp_path):
+    """The USE_INVERSE_OPT driver surface (tests/main.cpp:54-75): render a
+    tiny target with the CLI, then fit against it end-to-end — arg wiring,
+    FitConfig, snapshots, checkpoint, and the final render must all land."""
+    tgt = str(tmp_path / "t.ppm")
+    r = _run(["render", SCENE, "-o", tgt, "--width", "16", "--height", "16",
+              "--spp", "4"])
+    assert r.returncode == 0, r.stderr[-800:]
+    out = str(tmp_path / "fit")
+    r = _run(["fit", SCENE, "--target", tgt, "-o", out, "--iters", "2",
+              "--spp", "2", "--batch-pixels", "64", "--bounces", "2",
+              "--final-spp", "2", "--save-every", "1", "--snapshots"],
+             timeout=580)
+    assert r.returncode == 0, r.stderr[-800:]
+    img = read_ppm(f"{out}/final.ppm")
+    assert img.shape == (16, 16, 3)
+    assert os.path.exists(f"{out}/iter_0001.ppm")     # snapshot hook ran
+    assert any(f.endswith(".npz") for f in os.listdir(out)), \
+        "fit checkpoint missing"
+    assert "Inverse optimization time" in r.stdout
+
+
 def test_cli_bad_scene():
     r = _run(["render", "/nonexistent.txt", "-o", "/tmp/x.ppm"])
     assert r.returncode != 0
