@@ -30,6 +30,9 @@ WAVEFRONT = os.environ.get("BENCH_WAVEFRONT", "")
 # route the quadratic-coefficient bilinears through the MXU
 # (RenderConfig.mxu_coeffs; A/B knob for scripts/ab_mxu_coeffs.py)
 MXU_COEFFS = bool(int(os.environ.get("BENCH_MXU_COEFFS", "0")))
+# dense-kernel ray-block override (0 = auto; multiple of 128) — the e2e
+# side of the launch-geometry sweep (scripts/ab_block_sweep.py)
+BLOCK = int(os.environ.get("BENCH_BLOCK", "0"))
 TARGET_MRAYS = 100.0
 # Bounded tunnel wait: the axon TPU relay occasionally drops the claim and
 # every device op hangs forever (CLAUDE.md).  Probe in a subprocess (a hung
@@ -105,7 +108,7 @@ def main():
     scene = load_gmm(SCENE)
     camera = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
     cfg = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
-                       mxu_coeffs=MXU_COEFFS,
+                       mxu_coeffs=MXU_COEFFS, block=BLOCK,
                        **({"wavefront": WAVEFRONT} if WAVEFRONT else {}))
 
     rays_per_path = path_statistics(scene, camera, cfg)["rays_per_path"]
@@ -139,6 +142,7 @@ def main():
         "metric": f"Mrays/sec/chip multiscatter {os.path.basename(SCENE)} "
                   f"@{SIZE}x{SIZE} spp{SPP} wf={cfg.wavefront}"
                   f"{' mxu-coeffs' if MXU_COEFFS else ''}"
+                  f"{f' block={BLOCK}' if BLOCK else ''}"
                   f"{' (mega-fallback)' if fell_back else ''} "
                   f"({rays_per_path:.2f} rays/path)",
         "value": round(mrays, 3),
@@ -153,7 +157,8 @@ def main():
     # recorded row stays self-describing when replayed as last-known-good.
     if "BENCH_SCENE" not in os.environ and "BENCH_SIZE" not in os.environ \
             and "BENCH_SPP" not in os.environ \
-            and "BENCH_WAVEFRONT" not in os.environ and not MXU_COEFFS:
+            and "BENCH_WAVEFRONT" not in os.environ and not MXU_COEFFS \
+            and not BLOCK:
         try:
             import jax
             if jax.devices()[0].platform != "cpu":

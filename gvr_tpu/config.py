@@ -87,6 +87,12 @@ class RenderConfig:
     # always-on finisher (single-cell brackets make it both cheap and
     # frequently applicable there).
     solver_finisher: bool = False
+    # dense-kernel ray-block size override (0 = auto_block's VMEM-fitted
+    # choice, 512 at N<=256).  Estimator-invariant — RNG is keyed by
+    # (pixel, sample, bounce), never lane index — so this is a pure
+    # launch-geometry tuning knob for the on-silicon sweep
+    # (scripts/ab_block_sweep.py e2e via BENCH_BLOCK).
+    block: int = 0
     # route the dense kernels' quadratic-coefficient bilinears through
     # the MXU as one [2N, 16] x [16, blk] contraction (pack_table
     # precomputes the weight columns; kernels/pathtrace._coeffs_mxu)
@@ -135,6 +141,9 @@ class RenderConfig:
         if self.engine not in ("auto", "dense", "grid"):
             raise ValueError(f"engine must be 'auto'/'dense'/'grid', "
                              f"got {self.engine!r}")
+        if self.block % 128:
+            raise ValueError(f"block must be 0 (auto) or a multiple of "
+                             f"the 128-lane tile, got {self.block}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

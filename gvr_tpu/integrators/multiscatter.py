@@ -311,7 +311,7 @@ def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
 
     gmm = scene.medium
     table = pack_table(gmm)
-    block = auto_block(table.shape[0])
+    block = cfg.block or auto_block(table.shape[0])
 
     b0 = ids.shape[0]
     pad = (-b0) % block
@@ -353,7 +353,7 @@ def _wavefront_planes_step(scene: Scene, camera, cfg: RenderConfig, ids,
     n_strat = strat_n(cfg.spp)
     interp = cfg.pallas == "interpret"
     table = pack_table(gmm)
-    block = auto_block(table.shape[0])
+    block = cfg.block or auto_block(table.shape[0])
 
     b0 = ids.shape[0]
     pad = (-b0) % block

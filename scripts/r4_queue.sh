@@ -147,5 +147,15 @@ with open("benchmarks/mxu_coeffs_r4.json", "w") as f:
 print("mxu A/B rows:", json.dumps(rows))
 EOF
 
+echo "=== [9/9] (optional) dense-kernel launch-geometry sweep ==="
+grep -q '"best"' /tmp/r4q/ab_block.log 2>/dev/null || \
+  timeout 1800 python scripts/ab_block_sweep.py 2>&1 | tee /tmp/r4q/ab_block.log
+grep -E '^\{"ns_per_ray"' /tmp/r4q/ab_block.log | tail -1 \
+    > benchmarks/block_sweep_r4.json || true
+# e2e: megakernel at block=256 vs the auto-block (512) row in wf_mega.log
+has_row /tmp/r4q/blk256_e2e.log || \
+  timeout 1800 env BENCH_SPP=16 BENCH_BLOCK=256 BENCH_WAIT_S=60 \
+      python bench.py 2>&1 | tee /tmp/r4q/blk256_e2e.log
+
 echo "=== queue pass done at $(date) ==="
 python scripts/r4_artifacts_ok.py

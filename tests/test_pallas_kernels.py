@@ -248,6 +248,29 @@ def test_mxu_coeffs_wavefronts_match_xla(rng):
     np.testing.assert_allclose(img_mega, img_xla, atol=1e-4)
 
 
+def test_block_override_is_estimator_invariant(rng):
+    """RenderConfig.block is a pure launch-geometry knob: mega and step
+    wavefronts at block=256 must reproduce the auto-block (512) images
+    exactly (RNG is keyed by (pixel, sample, bounce), never lane index)."""
+    import dataclasses
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.integrators.multiscatter import wavefront_pixels
+
+    sc = parse_gmm(random_gaussian_scene(24, seed=7,
+                                         diameter=(0.2, 0.6),
+                                         density=(0.5, 2.0)))
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    ids = jnp.arange(256, dtype=jnp.int32)
+    for wf in ("mega", "step"):
+        cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=4,
+                           pallas="interpret", wavefront=wf)
+        img_auto = np.asarray(wavefront_pixels(sc, cam, cfg, ids))
+        cfg256 = dataclasses.replace(cfg, block=256)
+        img_256 = np.asarray(wavefront_pixels(sc, cam, cfg256, ids))
+        np.testing.assert_allclose(img_256, img_auto, atol=1e-6, err_msg=wf)
+
+
 def test_megakernel_matches_xla_deep_bounces(rng):
     """Deep-path variant: early RR (min_scatter=1) and the two-stage RR
     tail (rr_tail_after=3) both active within max_bounces=10 — exercises
