@@ -57,11 +57,43 @@ def _backend_alive() -> bool:
         return False
 
 
+# Single-owner TPU guard: only ONE process may touch the chip (a second
+# hangs both — CLAUDE.md).  The r4 capture queue (scripts/r4_queue.sh)
+# holds this pid-stamped lock while it owns the TPU; an independent bench
+# run (e.g. the driver's end-of-round capture) waits for it within the
+# wait budget instead of colliding.  The queue's own bench invocations
+# set BENCH_QUEUE_OWNER=1 to pass through.  A lock whose pid is dead is
+# stale (killed watcher) and ignored.
+QUEUE_LOCK = "/tmp/r4q/queue.running"
+
+
+def _queue_busy() -> bool:
+    if os.environ.get("BENCH_QUEUE_OWNER"):
+        return False
+    try:
+        pid = int(open(QUEUE_LOCK).read().strip())
+    except Exception:
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False      # stale lock: owner is gone
+
+
 def _wait_for_backend() -> bool:
     deadline = time.time() + WAIT_S
     attempt = 0
     while True:
         attempt += 1
+        if _queue_busy():
+            left = deadline - time.time()
+            print(f"# TPU owned by the capture queue ({QUEUE_LOCK}); "
+                  f"{left:.0f}s of wait budget left", file=sys.stderr)
+            if left <= 0:
+                return False
+            time.sleep(min(60.0, max(5.0, left)))
+            continue
         if _backend_alive():
             return True
         left = deadline - time.time()

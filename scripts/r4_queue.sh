@@ -11,6 +11,13 @@
 # guards in sync with its checks.
 cd /root/repo
 mkdir -p /tmp/r4q benchmarks
+# single-owner TPU lock: an independent bench.py (e.g. the driver's
+# end-of-round run) waits for this instead of colliding with the queue
+# (two TPU processes hang both).  pid-stamped so a killed queue leaves
+# only a stale, ignorable lock.  Our own bench calls pass through.
+echo $$ > /tmp/r4q/queue.running
+export BENCH_QUEUE_OWNER=1
+trap 'rm -f /tmp/r4q/queue.running' EXIT
 
 # a log holds a REAL benchmark row (not a tunnel-down fallback)?
 has_row() {
