@@ -59,12 +59,21 @@ def main():
         wf = os.environ.get("BENCH_WAVEFRONT", "")
         cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
                            **({"wavefront": wf} if wf else {}))
-        rpp = path_statistics(scene, camera, cfg)["rays_per_path"]
-        render_multiscatter(scene, camera, cfg)  # warm: identical config
-        t0 = time.time()
-        img = render_multiscatter(scene, camera, cfg)
-        dt = time.time() - t0
-        assert np.isfinite(img).all()
+        try:
+            rpp = path_statistics(scene, camera, cfg)["rays_per_path"]
+            render_multiscatter(scene, camera, cfg)  # warm: identical config
+            t0 = time.time()
+            img = render_multiscatter(scene, camera, cfg)
+            dt = time.time() - t0
+            assert np.isfinite(img).all()
+        except Exception as e:
+            # fault-isolate per scene: a Mosaic/compile failure on one
+            # fixture must not kill the rows after it (the queue greps
+            # rows from this log)
+            print(json.dumps({"scene_failed": name,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            continue
         mrays = args.size * args.size * args.spp * rpp / dt / 1e6
         row = {"scene": name, "gaussians": scene.medium.n,
                "rays_per_path": round(rpp, 2), "seconds": round(dt, 2),
