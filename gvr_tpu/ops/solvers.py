@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from gvr_tpu.config import Solver
 from gvr_tpu.ops.transmittance import (
-    RayGaussians, tau_up_to, tau_total, sigma_t_at, far_bound, any_hit)
+    RayGaussians, tau_up_to, tau_total, sigma_t_at, far_bound, any_hit,
+    gsum, gmin, gmax)
 
 NO_SCATTER = -1.0
 
@@ -45,7 +46,7 @@ NO_SCATTER = -1.0
 def _bracket(rg: RayGaussians):
     """Initial bracket [t_lo, t_hi] containing the root, plus total tau."""
     inf = jnp.float32(jnp.inf)
-    t_lo = jnp.min(jnp.where(rg.hit, rg.t0, inf), axis=-1)
+    t_lo = gmin(jnp.where(rg.hit, rg.t0, inf))
     t_hi = far_bound(rg)
     t_lo = jnp.minimum(t_lo, t_hi)
     tau_max = tau_total(rg)       # erf-free: precomputed per-gaussian totals
@@ -129,14 +130,14 @@ def _analytic_finisher(rg: RayGaussians, target, t):
     big = jnp.float32(3.4e38)
     tt = t[..., None]
     act = rg.hit & (rg.t0 < tt) & (tt < rg.t1)
-    n_act = jnp.sum(act.astype(jnp.int32), axis=-1)
+    n_act = gsum(act.astype(jnp.int32))
     done = rg.hit & (rg.t1 <= tt)
-    tau_done = jnp.sum(jnp.where(done, rg.tau_i, 0.0), axis=-1)
-    nxt = jnp.min(jnp.where(rg.hit & (rg.t0 > tt), rg.t0, big), axis=-1)
-    prv = jnp.max(jnp.where(done, rg.t1, 0.0), axis=-1)
+    tau_done = gsum(jnp.where(done, rg.tau_i, 0.0))
+    nxt = gmin(jnp.where(rg.hit & (rg.t0 > tt), rg.t0, big))
+    prv = gmax(jnp.where(done, rg.t1, 0.0))
 
     def pick(x):
-        return jnp.sum(jnp.where(act, x, 0.0), axis=-1)
+        return gsum(jnp.where(act, x, 0.0))
 
     pref1 = pick(rg.pref)
     fs1 = pick(rg.fscale)
@@ -162,7 +163,7 @@ def _analytic_single(rg: RayGaussians, target):
     (gaussian.h:235-297).  Returns (t, valid)."""
     # with exactly one hit, masked sums select that Gaussian's coefficients
     def pick(x):
-        return jnp.sum(jnp.where(rg.hit, x, 0.0), axis=-1)
+        return gsum(jnp.where(rg.hit, x, 0.0))
 
     a = pick(rg.a)
     b = pick(rg.b)
@@ -207,11 +208,11 @@ def _uniform_in_segment(rg: RayGaussians, target, u, iters: int = 24):
     t1m = jnp.where(rg.hit, rg.t1, inf)
     ts = t_star[..., None]
     lo_t = jnp.maximum(
-        jnp.max(jnp.where(t0m <= ts, t0m, -inf), axis=-1),
-        jnp.max(jnp.where(t1m <= ts, t1m, -inf), axis=-1))
+        gmax(jnp.where(t0m <= ts, t0m, -inf)),
+        gmax(jnp.where(t1m <= ts, t1m, -inf)))
     hi_t = jnp.minimum(
-        jnp.min(jnp.where(t0m > ts, t0m, inf), axis=-1),
-        jnp.min(jnp.where(t1m > ts, t1m, inf), axis=-1))
+        gmin(jnp.where(t0m > ts, t0m, inf)),
+        gmin(jnp.where(t1m > ts, t1m, inf)))
     # t* is clipped to [t_lo, t_hi], so an event <= t* always exists (the
     # first entry) — lo_t is finite on scattering lanes; at t* = t_hi the
     # hi side is empty and the segment degenerates to [lo_t, t_hi]
@@ -257,7 +258,7 @@ def sample_free_flight(rg: RayGaussians, target_tau, solver: Solver,
             t_newton = _analytic_finisher(rg, tgt, t_newton)
         # ... plus the whole-ray single-hit closed form, which is exact
         # regardless of where the iterate landed (gaussian.h:235-297)
-        n_hits = jnp.sum(rg.hit.astype(jnp.int32), axis=-1)
+        n_hits = gsum(rg.hit.astype(jnp.int32))
         t_ana, ok = _analytic_single(rg, tgt)
         t = jnp.where((n_hits == 1) & ok, t_ana, t_newton)
     elif solver == Solver.UNIFORM:

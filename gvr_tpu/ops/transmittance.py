@@ -21,7 +21,8 @@ VPU, fed by the MXU matmuls in ``quadratics.py``.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import contextlib
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,57 @@ import jax.numpy as jnp
 from gvr_tpu.scene.gaussians import GaussianMixture, R_CUT
 from gvr_tpu.ops.quadratics import (ray_quadratics, ray_quadratics_ab,
                                     intersect_from_quadratics)
+
+# -----------------------------------------------------------------------------
+# Tensor-parallel Gaussian axis
+# -----------------------------------------------------------------------------
+#
+# Every reduction over the Gaussian axis in this module (and in
+# ops/solvers.py) goes through the g*() helpers below.  Normally they are
+# plain jnp reductions and compile to exactly the single-device program.
+# Inside ``gaussian_axis(name)`` — set by parallel/gauss_sharded.py around a
+# shard_map whose mesh shards the mixture's N axis — each local reduction is
+# completed with the matching XLA collective (psum/pmax/pmin) over that mesh
+# axis, turning the whole dense path (coefficients, bracketed Newton, NEE
+# transmittance, albedo) into a tensor-parallel program: per-(ray, gaussian)
+# work shards over chips, per-ray control flow is replicated and stays in
+# lockstep because every device sees identical post-collective scalars.
+
+_GAUSS_AXIS: Optional[str] = None
+
+
+@contextlib.contextmanager
+def gaussian_axis(name: str):
+    """Trace-time context: complete Gaussian-axis reductions with
+    collectives over mesh axis ``name`` (see module comment above)."""
+    global _GAUSS_AXIS
+    prev, _GAUSS_AXIS = _GAUSS_AXIS, name
+    try:
+        yield
+    finally:
+        _GAUSS_AXIS = prev
+
+
+def gsum(x, axis=-1):
+    s = jnp.sum(x, axis=axis)
+    return jax.lax.psum(s, _GAUSS_AXIS) if _GAUSS_AXIS else s
+
+
+def gmax(x, axis=-1):
+    s = jnp.max(x, axis=axis)
+    return jax.lax.pmax(s, _GAUSS_AXIS) if _GAUSS_AXIS else s
+
+
+def gmin(x, axis=-1):
+    s = jnp.min(x, axis=axis)
+    return jax.lax.pmin(s, _GAUSS_AXIS) if _GAUSS_AXIS else s
+
+
+def gany(x, axis=-1):
+    a = jnp.any(x, axis=axis)
+    if _GAUSS_AXIS:
+        a = jax.lax.pmax(a.astype(jnp.int32), _GAUSS_AXIS) > 0
+    return a
 
 
 class RayGaussians(NamedTuple):
@@ -123,13 +175,13 @@ def tau_up_to(rg: RayGaussians, t):
     tt = t[..., None] if t.ndim < rg.t1.ndim else t
     seg = jnp.where(tt >= rg.t1, rg.tau_i,
                     rg.pref * (_ferf(rg, tt) - rg.erf_lo))
-    return jnp.sum(jnp.where(rg.hit & (tt > rg.t0), seg, 0.0), axis=-1)
+    return gsum(jnp.where(rg.hit & (tt > rg.t0), seg, 0.0))
 
 
 def tau_total(rg: RayGaussians):
     """Optical depth through the whole medium: erf-free reduction of the
     precomputed per-gaussian totals."""
-    return jnp.sum(jnp.where(rg.hit, rg.tau_i, 0.0), axis=-1)
+    return gsum(jnp.where(rg.hit, rg.tau_i, 0.0))
 
 
 def sigma_t_at(rg: RayGaussians, t):
@@ -137,7 +189,7 @@ def sigma_t_at(rg: RayGaussians, t):
     contains t, in the stable completed-square form
     peak * exp(-(sqrt(A) t + B/(2 sqrt(A)))^2 / 2)."""
     rho, inside = extinction_at(rg, t)
-    return jnp.sum(jnp.where(inside, rho, 0.0), axis=-1)
+    return gsum(jnp.where(inside, rho, 0.0))
 
 
 def transmittance_up_to(gmm: GaussianMixture, origin, direction, tmax):
@@ -152,7 +204,7 @@ def transmittance_up_to(gmm: GaussianMixture, origin, direction, tmax):
     hi = jnp.minimum(t1, tt)
     f = lambda t: jax.lax.erf((b + 2.0 * a * t) * fscale)
     seg = pref * (f(hi) - f(lo))
-    tau = jnp.sum(jnp.where(hit & (hi > lo), seg, 0.0), axis=-1)
+    tau = gsum(jnp.where(hit & (hi > lo), seg, 0.0))
     return jnp.exp(-tau)
 
 
@@ -160,7 +212,7 @@ def transmittance_over_segment(rg: RayGaussians, u, v, active_mask):
     """T over [u,v] restricted to an explicit active mask [...,N]
     (gmm.h:145-157) — used by the analytic ray marcher."""
     seg = tau_interval(rg, u[..., None], v[..., None])
-    tau = jnp.sum(jnp.where(active_mask, seg, 0.0), axis=-1)
+    tau = gsum(jnp.where(active_mask, seg, 0.0))
     return jnp.exp(-tau)
 
 
@@ -175,6 +227,10 @@ def compact_candidates(rg: RayGaussians, albedo, k: int):
 
     Returns (rg_k, albedo_k [.,k], overflow [.]).
     """
+    assert _GAUSS_AXIS is None, (
+        "candidate compaction (top_k over the Gaussian axis) is not "
+        "tensor-parallel; render with candidate_k=0 under gaussian_axis "
+        "(parallel/gauss_sharded.py forces this)")
     key = jnp.where(rg.hit, -rg.t0, -jnp.inf)
     _, idx = jax.lax.top_k(key, k)                  # k smallest t0 among hits
     take = lambda x: jnp.take_along_axis(x, idx, axis=-1)
@@ -203,8 +259,8 @@ def albedo_at_from_rg(rg: RayGaussians, albedo, t):
     semantics)."""
     rho, inside = extinction_at(rg, t)
     w = jnp.where(inside, rho, 0.0)
-    s = jnp.sum(w, axis=-1)
-    sa = jnp.sum(w * albedo, axis=-1)
+    s = gsum(w)
+    sa = gsum(w * albedo)
     s_safe = jnp.where(s > 1e-25, s, 1.0)
     return jnp.clip(jnp.where(s > 1e-25, sa / s_safe, 0.0), 0.0, 1.0)
 
@@ -212,8 +268,8 @@ def albedo_at_from_rg(rg: RayGaussians, albedo, t):
 def far_bound(rg: RayGaussians):
     """Farthest exit distance over hit Gaussians (0 if none): the upper end
     of the medium along this ray, i.e. the reference's ``events.back().t``."""
-    return jnp.max(jnp.where(rg.hit, rg.t1, 0.0), axis=-1)
+    return gmax(jnp.where(rg.hit, rg.t1, 0.0))
 
 
 def any_hit(rg: RayGaussians):
-    return jnp.any(rg.hit, axis=-1)
+    return gany(rg.hit)

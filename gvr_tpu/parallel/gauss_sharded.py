@@ -1,0 +1,114 @@
+"""Tensor-parallel rendering: shard the Gaussian mixture over a mesh axis.
+
+The default multi-chip strategy (parallel/sharding.py) replicates the scene
+and shards rays — right whenever the parameters fit one chip (20k Gaussians
+= 220 KB).  What does NOT fit at scale is the dense path's per-(ray,
+gaussian) working set: a 64k-ray chunk against N Gaussians carries
+O(64k x N) f32 intermediates (RayGaussians is 11 of them), which is what
+actually caps the ray-chunk size as scenes grow.  Sharding the *Gaussian*
+axis divides that working set (and the per-pair FLOPs) across chips while
+rays stay replicated or shard on a second mesh axis — classic 2-D
+tensor x data parallelism.
+
+Mechanism: every Gaussian-axis reduction in ops/{transmittance,solvers}.py
+runs through the g*() helpers (transmittance.gaussian_axis); inside this
+module's shard_map they complete local reductions with psum/pmax/pmin over
+the ``gauss`` mesh axis.  Per-ray control flow (the bracketed Newton loop,
+RR, phase sampling) is replicated across the gauss axis and stays in
+lockstep because every device sees identical post-collective scalars; the
+per-bounce collective payload is a few scalars per ray (tau, sigma_t per
+solver iteration + the NEE tau), which rides ICI.
+
+Reference parity note: the reference has no scene-parallel mode at all
+(OpenMP shares one scene in RAM, integrator.h:148,302,547); this is a
+TPU-native capability beyond it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gvr_tpu.config import RenderConfig
+from gvr_tpu.ops.transmittance import gaussian_axis
+from gvr_tpu.scene.gaussians import GaussianMixture
+from gvr_tpu.scene.scene import Scene
+
+RAY_AXIS = "rays"
+GAUSS_AXIS = "gauss"
+
+
+def make_mesh_2d(n_ray_shards: int, n_gauss_shards: int,
+                 devices=None) -> Mesh:
+    """(rays x gauss) mesh over the first n_ray*n_gauss devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_ray_shards * n_gauss_shards
+    assert len(devices) >= need, (len(devices), need)
+    return Mesh(np.array(devices[:need]).reshape(n_ray_shards,
+                                                 n_gauss_shards),
+                (RAY_AXIS, GAUSS_AXIS))
+
+
+def pad_mixture(gmm: GaussianMixture, multiple: int) -> GaussianMixture:
+    """Pad N up to a multiple with inert Gaussians: zero density AND a
+    center so remote (1e9 with unit covariance) that the support test
+    ``(R_CUT^2 - m2)/a > 0`` fails for every finite ray — padded rows hit
+    nothing, so brackets/far bounds/NEE are untouched, not just zero-tau."""
+    n = gmm.n
+    rem = (-n) % multiple
+    if rem == 0:
+        return gmm
+    pad = GaussianMixture.from_covariances(
+        mean=jnp.full((rem, 3), 1e9, jnp.float32),
+        cov=jnp.tile(jnp.eye(3, dtype=jnp.float32), (rem, 1, 1)),
+        density=jnp.zeros((rem,), jnp.float32),
+        albedo=jnp.zeros((rem,), jnp.float32))
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+    return jax.tree_util.tree_map(cat, gmm, pad)
+
+
+def render_rays_tp(scene: Scene, origin, direction, rng_ids,
+                   cfg: RenderConfig, mesh: Mesh, sample=0):
+    """Multi-scatter radiance with rays sharded over mesh axis ``rays`` and
+    the Gaussian mixture sharded over mesh axis ``gauss``.
+
+    Estimator-identical to ``multiscatter_radiance`` up to f32 reduction
+    order (the psum tree vs one flat jnp.sum); RNG streams are keyed by
+    rng_ids so the result is layout-independent like the dp path.
+    Candidate compaction is forced off — top_k over a sharded axis has no
+    cheap collective — which is the correct trade: compaction exists to
+    shrink the [rays, N] working set, and that is what the gauss axis
+    itself does.
+    """
+    from gvr_tpu.integrators.multiscatter import multiscatter_radiance
+
+    cfg = dataclasses.replace(cfg, candidate_k=0)
+
+    n_gauss_shards = mesh.shape[GAUSS_AXIS]
+    n_ray_shards = mesh.shape[RAY_AXIS]
+    medium = pad_mixture(scene.medium, n_gauss_shards)
+
+    n_rays = origin.shape[0]
+    assert n_rays % n_ray_shards == 0, (
+        f"ray count {n_rays} must divide the '{RAY_AXIS}' axis "
+        f"({n_ray_shards}); pad rays upstream")
+
+    def local(medium, lights_p, lights_i, env_color, o, d, ids):
+        sc = Scene(medium, lights_p, lights_i, env_color)
+        with gaussian_axis(GAUSS_AXIS):
+            return multiscatter_radiance(sc, o, d, ids, cfg, sample=sample)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(GAUSS_AXIS), P(), P(), P(),
+                  P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    return fn(medium, scene.lights_p, scene.lights_i, scene.env_color,
+              origin, direction, rng_ids)

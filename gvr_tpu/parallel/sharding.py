@@ -9,6 +9,10 @@ is free); forward rendering needs *no* collectives, inverse fitting needs a
 single ``psum`` over parameter gradients.  Per-path RNG keys are derived
 from pixel coordinates, so radiance is bitwise independent of the shard
 layout.
+
+When the per-(ray, gaussian) working set (not the parameters) is what
+outgrows a chip, the complementary axis lives in ``gauss_sharded.py``:
+tensor-parallel rendering over a 2-D (rays x gauss) mesh.
 """
 
 from __future__ import annotations

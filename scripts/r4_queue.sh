@@ -146,7 +146,13 @@ for name, path in (("kernel_ab", "/tmp/r4q/ab_mxu.log"),
             ln = ln.strip()
             if ln.startswith("{") and "LAST-KNOWN-GOOD" not in ln \
                     and "unavailable" not in ln:
-                rows.setdefault(name, []).append(json.loads(ln))
+                # ab_mxu.log also holds a MULTI-line json.dumps(indent=1)
+                # block whose first line is a bare '{' — skip non-JSON
+                # lines instead of crashing the whole collector
+                try:
+                    rows.setdefault(name, []).append(json.loads(ln))
+                except json.JSONDecodeError:
+                    pass
     except FileNotFoundError:
         pass
 with open("benchmarks/mxu_coeffs_r4.json", "w") as f:
