@@ -21,8 +21,7 @@ VPU, fed by the MXU matmuls in ``quadratics.py``.
 
 from __future__ import annotations
 
-import contextlib
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,56 +30,9 @@ from gvr_tpu.scene.gaussians import GaussianMixture, R_CUT
 from gvr_tpu.ops.quadratics import (ray_quadratics, ray_quadratics_ab,
                                     intersect_from_quadratics)
 
-# -----------------------------------------------------------------------------
-# Tensor-parallel Gaussian axis
-# -----------------------------------------------------------------------------
-#
-# Every reduction over the Gaussian axis in this module (and in
-# ops/solvers.py) goes through the g*() helpers below.  Normally they are
-# plain jnp reductions and compile to exactly the single-device program.
-# Inside ``gaussian_axis(name)`` — set by parallel/gauss_sharded.py around a
-# shard_map whose mesh shards the mixture's N axis — each local reduction is
-# completed with the matching XLA collective (psum/pmax/pmin) over that mesh
-# axis, turning the whole dense path (coefficients, bracketed Newton, NEE
-# transmittance, albedo) into a tensor-parallel program: per-(ray, gaussian)
-# work shards over chips, per-ray control flow is replicated and stays in
-# lockstep because every device sees identical post-collective scalars.
-
-_GAUSS_AXIS: Optional[str] = None
-
-
-@contextlib.contextmanager
-def gaussian_axis(name: str):
-    """Trace-time context: complete Gaussian-axis reductions with
-    collectives over mesh axis ``name`` (see module comment above)."""
-    global _GAUSS_AXIS
-    prev, _GAUSS_AXIS = _GAUSS_AXIS, name
-    try:
-        yield
-    finally:
-        _GAUSS_AXIS = prev
-
-
-def gsum(x, axis=-1):
-    s = jnp.sum(x, axis=axis)
-    return jax.lax.psum(s, _GAUSS_AXIS) if _GAUSS_AXIS else s
-
-
-def gmax(x, axis=-1):
-    s = jnp.max(x, axis=axis)
-    return jax.lax.pmax(s, _GAUSS_AXIS) if _GAUSS_AXIS else s
-
-
-def gmin(x, axis=-1):
-    s = jnp.min(x, axis=axis)
-    return jax.lax.pmin(s, _GAUSS_AXIS) if _GAUSS_AXIS else s
-
-
-def gany(x, axis=-1):
-    a = jnp.any(x, axis=axis)
-    if _GAUSS_AXIS:
-        a = jax.lax.pmax(a.astype(jnp.int32), _GAUSS_AXIS) > 0
-    return a
+# Tensor-parallel Gaussian-axis reductions (see ops/gaxis.py); re-exported
+# here because this module is where the reduction sites live.
+from gvr_tpu.ops.gaxis import gaussian_axis, gsum, gmax, gmin, gany  # noqa: F401,E402
 
 
 class RayGaussians(NamedTuple):
@@ -227,7 +179,8 @@ def compact_candidates(rg: RayGaussians, albedo, k: int):
 
     Returns (rg_k, albedo_k [.,k], overflow [.]).
     """
-    assert _GAUSS_AXIS is None, (
+    from gvr_tpu.ops import gaxis
+    assert gaxis.active() is None, (
         "candidate compaction (top_k over the Gaussian axis) is not "
         "tensor-parallel; render with candidate_k=0 under gaussian_axis "
         "(parallel/gauss_sharded.py forces this)")

@@ -35,7 +35,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gvr_tpu.config import RenderConfig
-from gvr_tpu.ops.transmittance import gaussian_axis
+from gvr_tpu.ops.gaxis import gaussian_axis
 from gvr_tpu.scene.gaussians import GaussianMixture
 from gvr_tpu.scene.scene import Scene
 
@@ -112,3 +112,44 @@ def render_rays_tp(scene: Scene, origin, direction, rng_ids,
     )
     return fn(medium, scene.lights_p, scene.lights_i, scene.env_color,
               origin, direction, rng_ids)
+
+
+def fit_value_and_grad_tp(mesh: Mesh, n_bounces: int = 4,
+                          loss: str = "l2_dual", rr_after: int = 0):
+    """value_and_grad of the inverse-rendering loss with the *parameters
+    themselves* sharded: each chip owns params[N/tp, 11] of the mixture
+    (and would own the matching slice of Adam state), rays/targets shard
+    over the ``rays`` axis — model x data parallel fitting, for mixtures
+    whose [rays, N] fit working set outgrows one chip.
+
+    Returns ``f(params, lights_p, lights_i, env_color, o, d, rng_ids,
+    target, seed) -> (loss, grads)`` with params/grads sharded over
+    ``gauss`` and o/d/rng_ids/target over ``rays``; loss is replicated.
+    N and the ray count must divide their mesh axes (pad upstream —
+    a zero-density padded row's gradient is well-defined and discarded).
+
+    The backward pass is the implicit-function-theorem VJP
+    (ops/solvers.solve_conditional_free_flight) run under the gauss axis:
+    its tau/sigma collectives transpose to per-shard cotangents, so no
+    gradient collective over ``gauss`` is needed — only the ``rays``-axis
+    pmean that dp fitting (parallel/sharding.py) already uses.
+    """
+    from gvr_tpu.inverse.fit import fit_loss
+
+    def local(params, lights_p, lights_i, env_color, o, d, ids, tgt, seed):
+        template = Scene(None, lights_p, lights_i, env_color)
+        with gaussian_axis(GAUSS_AXIS):
+            val, grads = jax.value_and_grad(fit_loss)(
+                params, template, o, d, ids, tgt, n_bounces=n_bounces,
+                loss=loss, seed=seed, rr_after=rr_after)
+        val = jax.lax.pmean(val, RAY_AXIS)
+        grads = jax.lax.pmean(grads, RAY_AXIS)
+        return val, grads
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(GAUSS_AXIS), P(), P(), P(),
+                  P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(), P(GAUSS_AXIS)),
+        check_vma=False,
+    )

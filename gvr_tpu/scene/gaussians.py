@@ -186,9 +186,10 @@ class GaussianMixture:
         density-weighted albedo blend a = sum(mu_t*a)/sum(mu_t),
         sigma_s = a*sum(mu_t), sigma_a = (1-a)*sum(mu_t).
         """
+        from gvr_tpu.ops.gaxis import gsum
         mt = self.mu_t(x) * active_mask
-        s = jnp.sum(mt, axis=-1)
-        sa = jnp.sum(mt * self.albedo, axis=-1)
+        s = gsum(mt)
+        sa = gsum(mt * self.albedo)
         # grad-safe division: zero lanes must not produce 1e30-scale grads
         s_safe = jnp.where(s > 1e-25, s, 1.0)
         amix = jnp.where(s > 1e-25, sa / s_safe, 0.0)
@@ -199,9 +200,10 @@ class GaussianMixture:
     def albedo_at(self, x, active_mask):
         """Mixture single-scattering albedo at x (gmm.h:128-143),
         clamped to [0,1]."""
+        from gvr_tpu.ops.gaxis import gsum
         mt = self.mu_t(x) * active_mask
-        s = jnp.sum(mt, axis=-1)
-        sa = jnp.sum(mt * self.albedo, axis=-1)
+        s = gsum(mt)
+        sa = gsum(mt * self.albedo)
         s_safe = jnp.where(s > 1e-25, s, 1.0)
         return jnp.clip(jnp.where(s > 1e-25, sa / s_safe, 0.0), 0.0, 1.0)
 

@@ -114,6 +114,34 @@ def test_tp_padding_inert():
     _assert_radiance_close(got, want)
 
 
+def test_tp_fit_gradients_match_dense():
+    """Model x data parallel fitting: loss and parameter gradients with
+    the params sharded over the gauss axis must match the unsharded
+    fit_loss value_and_grad (the implicit-diff VJP transposes the tau
+    collectives back to per-shard cotangents)."""
+    from gvr_tpu.inverse.fit import fit_loss
+    from gvr_tpu.parallel.gauss_sharded import fit_value_and_grad_tp
+
+    scene = parse_gmm(random_gaussian_scene(8, seed=3))
+    params = scene.medium.pack_parameters()
+    o, d, ids = _rays(8, 8)
+    target = jnp.full((64, 3), 0.4, jnp.float32)
+    seed = jnp.int32(0)
+
+    want_v, want_g = jax.value_and_grad(fit_loss)(
+        params, scene, o, d, ids, target, n_bounces=2, seed=seed)
+
+    mesh = make_mesh_2d(2, 4)
+    fn = fit_value_and_grad_tp(mesh, n_bounces=2)
+    got_v, got_g = fn(params, scene.lights_p, scene.lights_i,
+                      scene.env_color, o, d, ids, target, seed)
+
+    assert abs(float(got_v) - float(want_v)) < 1e-6 * max(
+        1.0, abs(float(want_v)))
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-3, atol=1e-6)
+
+
 def test_tp_uniform_solver(scene40):
     """The UNIFORM ablation's segment-boundary pmin/pmax path."""
     cfg = RenderConfig(width=16, height=16, spp=1, max_bounces=2,
