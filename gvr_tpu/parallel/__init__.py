@@ -3,5 +3,17 @@ from gvr_tpu.parallel.sharding import (
     shard_rays,
     sharded_render_fn,
 )
+from gvr_tpu.parallel.gauss_sharded import (
+    make_mesh_2d,
+    render_rays_tp,
+    fit_value_and_grad_tp,
+)
 
-__all__ = ["make_mesh", "shard_rays", "sharded_render_fn"]
+__all__ = [
+    "make_mesh",
+    "shard_rays",
+    "sharded_render_fn",
+    "make_mesh_2d",
+    "render_rays_tp",
+    "fit_value_and_grad_tp",
+]

@@ -171,4 +171,7 @@ has_row /tmp/r4q/blk256_e2e.log || \
       python bench.py 2>&1 | tee /tmp/r4q/blk256_e2e.log
 
 echo "=== queue pass done at $(date) ==="
+# decision report (adoption rules for the A/B artifacts) — informational,
+# lands in the queue log even if no operator is watching at capture time
+python scripts/r4_postcapture.py || true
 python scripts/r4_artifacts_ok.py
