@@ -6,6 +6,7 @@ from gvr_tpu.parallel.sharding import (
 from gvr_tpu.parallel.gauss_sharded import (
     make_mesh_2d,
     render_rays_tp,
+    render_multiscatter_tp,
     fit_value_and_grad_tp,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "sharded_render_fn",
     "make_mesh_2d",
     "render_rays_tp",
+    "render_multiscatter_tp",
     "fit_value_and_grad_tp",
 ]

@@ -114,6 +114,52 @@ def render_rays_tp(scene: Scene, origin, direction, rng_ids,
               origin, direction, rng_ids)
 
 
+def render_multiscatter_tp(scene: Scene, camera, cfg: RenderConfig,
+                           mesh: Mesh):
+    """Image-level tensor-parallel multi-scatter render: pixels shard over
+    the ``rays`` mesh axis, the mixture over ``gauss``; the spp loop runs
+    inside the shard_map (stratified camera jitter + per-sample RNG streams
+    identical to the single-device estimator — keyed by (pixel, sample,
+    bounce), never by shard).  Returns [H*W, 3] in pixel-id order.
+
+    The dp production path (integrators.render_multiscatter) stays the
+    default on one-chip-sized scenes; this wrapper is the working-set
+    escape hatch (see docs/SCALING.md).
+    """
+    from gvr_tpu.integrators.multiscatter import (
+        mc_camera_rays, multiscatter_radiance)
+
+    cfg = dataclasses.replace(cfg, candidate_k=0)
+    w, h, spp = cfg.width, cfg.height, cfg.spp
+    n_ray_shards = mesh.shape[RAY_AXIS]
+    medium = pad_mixture(scene.medium, mesh.shape[GAUSS_AXIS])
+
+    n = w * h
+    n_pad = ((n + n_ray_shards - 1) // n_ray_shards) * n_ray_shards
+    ids = jnp.arange(n_pad, dtype=jnp.int32) % n
+
+    def local(medium, lights_p, lights_i, env_color, camera, ids):
+        sc = Scene(medium, lights_p, lights_i, env_color)
+        with gaussian_axis(GAUSS_AXIS):
+            def body(si, acc):
+                o, d, rng_ids = mc_camera_rays(sc, camera, cfg, ids, si)
+                return acc + multiscatter_radiance(sc, o, d, rng_ids, cfg,
+                                                   sample=si)
+            acc = jax.lax.fori_loop(
+                0, spp, body, jnp.zeros((ids.shape[0], 3), jnp.float32))
+        return acc / spp
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(GAUSS_AXIS), P(), P(), P(), P(), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    img = fn(medium, scene.lights_p, scene.lights_i, scene.env_color,
+             camera, ids)
+    return img[:n]
+
+
 def fit_value_and_grad_tp(mesh: Mesh, n_bounces: int = 4,
                           loss: str = "l2_dual", rr_after: int = 0):
     """value_and_grad of the inverse-rendering loss with the *parameters

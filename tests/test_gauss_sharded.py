@@ -142,6 +142,81 @@ def test_tp_fit_gradients_match_dense():
                                rtol=1e-3, atol=1e-6)
 
 
+def test_tp_fit_adam_trajectory_matches_dense():
+    """Three Adam steps with gauss-sharded params/grads (each mesh column
+    owns its slice of the mixture AND its optimizer state — Adam is
+    elementwise, so no extra collective) track the dense trajectory."""
+    import optax
+    from gvr_tpu.inverse.fit import fit_loss
+    from gvr_tpu.parallel.gauss_sharded import fit_value_and_grad_tp
+
+    scene = parse_gmm(random_gaussian_scene(8, seed=3))
+    o, d, ids = _rays(8, 8)
+    target = jnp.full((64, 3), 0.4, jnp.float32)
+    opt = optax.adam(5e-2)
+
+    def dense_traj():
+        vg = jax.jit(lambda p, seed: jax.value_and_grad(fit_loss)(
+            p, scene, o, d, ids, target, n_bounces=2, seed=seed))
+        p = scene.medium.pack_parameters()
+        st = opt.init(p)
+        losses = []
+        for it in range(3):
+            v, g = vg(p, jnp.int32(it))
+            up, st = opt.update(g, st, p)
+            p = optax.apply_updates(p, up)
+            losses.append(float(v))
+        return p, losses
+
+    def tp_traj():
+        mesh = make_mesh_2d(2, 4)
+        fn = fit_value_and_grad_tp(mesh, n_bounces=2)
+        vg = jax.jit(lambda p, seed: fn(
+            p, scene.lights_p, scene.lights_i, scene.env_color,
+            o, d, ids, target, seed))
+        p = scene.medium.pack_parameters()
+        st = opt.init(p)
+        losses = []
+        for it in range(3):
+            v, g = vg(p, jnp.int32(it))
+            up, st = opt.update(g, st, p)
+            p = optax.apply_updates(p, up)
+            losses.append(float(v))
+        return p, losses
+
+    p_d, l_d = dense_traj()
+    p_tp, l_tp = tp_traj()
+    np.testing.assert_allclose(l_tp, l_d, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_tp), np.asarray(p_d),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_tp_image_render_matches_sample_loop(scene40):
+    """Image-level TP wrapper == the manual per-sample estimator (same
+    RNG keying, same stratified jitter), up to reduction-order drift."""
+    from gvr_tpu.integrators.multiscatter import (
+        mc_camera_rays, multiscatter_radiance)
+    from gvr_tpu.parallel.gauss_sharded import render_multiscatter_tp
+
+    cfg = RenderConfig(width=12, height=12, spp=2, max_bounces=3)
+    ids = jnp.arange(144, dtype=jnp.int32)
+
+    @jax.jit
+    def dense(scene):
+        acc = jnp.zeros((144, 3), jnp.float32)
+        for si in range(cfg.spp):
+            o, d, rng_ids = mc_camera_rays(scene, CAM, cfg, ids,
+                                           jnp.int32(si))
+            acc = acc + multiscatter_radiance(scene, o, d, rng_ids, cfg,
+                                              sample=jnp.int32(si))
+        return acc / cfg.spp
+
+    want = np.asarray(dense(scene40))
+    got = np.asarray(render_multiscatter_tp(scene40, CAM, cfg,
+                                            make_mesh_2d(2, 4)))
+    _assert_radiance_close(got, want)
+
+
 def test_tp_uniform_solver(scene40):
     """The UNIFORM ablation's segment-boundary pmin/pmax path."""
     cfg = RenderConfig(width=16, height=16, spp=1, max_bounces=2,
