@@ -187,10 +187,13 @@ def main():
     # BENCH_WAVEFRONT=step run must not replace the canonical headline.
     # The metric string carries wf= (and any mega-fallback marker), so a
     # recorded row stays self-describing when replayed as last-known-good.
-    if "BENCH_SCENE" not in os.environ and "BENCH_SIZE" not in os.environ \
-            and "BENCH_SPP" not in os.environ \
-            and "BENCH_WAVEFRONT" not in os.environ and not MXU_COEFFS \
-            and not BLOCK:
+    # empty-string env values count as absent: the capture queue invokes
+    # `env BENCH_WAVEFRONT=$WAVE bench.py` with WAVE="" for the canonical
+    # headline, which must still refresh last_good.json
+    overridden = any(os.environ.get(k) for k in
+                     ("BENCH_SCENE", "BENCH_SIZE", "BENCH_SPP",
+                      "BENCH_WAVEFRONT"))
+    if not overridden and not MXU_COEFFS and not BLOCK:
         try:
             import jax
             if jax.devices()[0].platform != "cpu":

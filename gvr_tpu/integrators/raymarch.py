@@ -165,7 +165,7 @@ def _dir_from_xi(xi):
 
 
 def _medium_intervals(medium, o, d):
-    """(t0 [clamped>=0], t1, hit) for either medium type."""
+    """(t0 [clamped>=0], t1, hit) for any medium type (GMM / SMM / voxels)."""
     from gvr_tpu.scene.gaussians import GaussianMixture
     if isinstance(medium, GaussianMixture):
         from gvr_tpu.ops.quadratics import intersect_gaussians
@@ -176,8 +176,9 @@ def _medium_intervals(medium, o, d):
 
 
 def _medium_sigma(medium, pos, active):
-    from gvr_tpu.scene.gaussians import GaussianMixture
-    if isinstance(medium, GaussianMixture):
+    # position-dependent media (GMM, VoxelGrid) expose sigma_albedo(pos,
+    # active); homogeneous-per-primitive media (SMM) only need the mask
+    if hasattr(medium, "sigma_albedo"):
         return medium.sigma_albedo(pos, active)
     return medium.sigma_at(active)
 

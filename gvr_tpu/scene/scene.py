@@ -209,15 +209,24 @@ def parse_smm(text: str, env_color=DEFAULT_ENV_COLOR) -> Scene:
 
 
 def load_vdb(path: Union[str, os.PathLike]) -> Scene:
-    """Voxel volumes: declared-but-unimplemented in the reference too
-    (scene.h:21-22, 122, 144-145 — `VolumeType::VOXELS` and `load_VDB` are
-    stubs)."""
-    raise NotImplementedError("Voxel volume not supported")
+    """OpenVDB files: unimplemented, matching the reference's own stub
+    (scene.h:21-22, 122, 144-145 — `VolumeType::VOXELS` / `load_VDB`).
+    Unlike the reference, gvr_tpu DOES render voxel media — load a dense
+    grid with ``gvr_tpu.scene.voxels.load_voxels`` (.npz) or bake one from
+    a GaussianMixture with ``VoxelGrid.from_gaussians``."""
+    raise NotImplementedError(
+        "OpenVDB parsing not supported; convert to .npz (sigma_t [X,Y,Z]) "
+        "and use gvr_tpu.scene.voxels.load_voxels")
 
 
 def load_scene(path: Union[str, os.PathLike],
                env_color=DEFAULT_ENV_COLOR) -> Scene:
-    """Auto-detect format: a scene with 'g' lines is a GMM, 's' lines SMM."""
+    """Auto-detect format: .npz is a voxel grid; a text scene with 'g'
+    lines is a GMM, 's' lines SMM."""
+    if str(path).endswith(".npz"):
+        from gvr_tpu.scene.voxels import load_voxels
+        return load_voxels(path, env_color if env_color !=
+                           DEFAULT_ENV_COLOR else None)
     text = _read_text(path)
     tags = {tag for tag, _ in _parse_lines(text)}
     if "g" in tags:
