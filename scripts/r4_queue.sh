@@ -15,6 +15,16 @@ mkdir -p /tmp/r4q benchmarks
 # end-of-round run) waits for this instead of colliding with the queue
 # (two TPU processes hang both).  pid-stamped so a killed queue leaves
 # only a stale, ignorable lock.  Our own bench calls pass through.
+# REFUSE to start if another live queue already owns the lock: two
+# concurrent queues double the TPU workload and contaminate every
+# number they capture (observed r4: headline 12.9 vs 16.6 Mrays/s
+# from two accidentally-started watchers).
+if other=$(cat /tmp/r4q/queue.running 2>/dev/null) \
+   && [ -n "$other" ] && [ "$other" != "$$" ] && kill -0 "$other" 2>/dev/null
+then
+  echo "another r4 queue (pid $other) owns the TPU — refusing to start"
+  exit 3
+fi
 echo $$ > /tmp/r4q/queue.running
 export BENCH_QUEUE_OWNER=1
 trap 'rm -f /tmp/r4q/queue.running' EXIT
