@@ -65,6 +65,54 @@ def test_populated_artifacts_render_rows(tmp_path):
     assert "capture pending" not in sec
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _repo_rows(path):
+    rows = []
+    with open(os.path.join(REPO, path)) as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln.startswith("{"):
+                rows.append(json.loads(ln))
+    return rows
+
+
+def test_checked_in_readme_cites_existing_artifacts():
+    """Repo-state test (round-4 shipped a README citing two files the
+    snapshot commit had deleted — synthetic-tree tests can't catch that).
+    Every `benchmarks/...` path the real README mentions must exist."""
+    import re
+    text = open(os.path.join(REPO, "README.md")).read()
+    cited = set(re.findall(r"benchmarks/[\w.\-]+", text))
+    assert cited, "README cites no benchmark artifacts — regen is broken"
+    missing = [p for p in cited if not os.path.exists(os.path.join(REPO, p))]
+    assert not missing, f"README cites missing artifacts: {missing}"
+
+
+def test_checked_in_headline_numbers_agree():
+    """The README headline, benchmarks/headline_spp64_*.json, and
+    last_good.json must all carry the SAME canonical number (round 4
+    ended with three different headline values checked in)."""
+    import glob
+    import re
+    heads = sorted(glob.glob(os.path.join(
+        REPO, "benchmarks", "headline_spp64_r*.json")))
+    assert heads, "no headline artifact checked in"
+    latest = _repo_rows(os.path.relpath(heads[-1], REPO))[-1]
+    text = open(os.path.join(REPO, "README.md")).read()
+    # the most recent round section must quote the latest headline value
+    assert f"{latest['value']} {latest['unit']}" in text, (
+        f"README headline disagrees with {os.path.basename(heads[-1])} "
+        f"({latest['value']}) — run scripts/update_bench_docs.py")
+    last_good = _repo_rows("benchmarks/last_good.json")[-1]
+    # last_good tracks the canonical bench config; it must match the
+    # newest headline artifact for that same config (metric spells it out)
+    if last_good["metric"] == latest["metric"]:
+        assert last_good["value"] == latest["value"], (
+            "last_good.json and the newest headline artifact disagree")
+
+
 def test_main_inserts_and_replaces_idempotently(tmp_path):
     mod = _load(tmp_path)
     readme = tmp_path / "README.md"
