@@ -116,6 +116,35 @@ def _report_last_good() -> bool:
     return True
 
 
+def _series_geomean():
+    """Geomean Mrays/s over the newest committed series artifact
+    (benchmarks/series_r*.jsonl), plus its provenance, or None."""
+    import glob
+    bdir = os.path.dirname(LAST_GOOD)
+    files = sorted(glob.glob(os.path.join(bdir, "series_r*.jsonl")))
+    if not files:
+        return None
+    path = files[-1]
+    vals = []
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                r = json.loads(line)
+                if "mrays_per_sec" in r:
+                    vals.append(float(r["mrays_per_sec"]))
+    except Exception:
+        return None
+    if not vals:
+        return None
+    gm = math.exp(sum(math.log(max(v, 1e-12)) for v in vals) / len(vals))
+    return {"series_geomean_mrays": round(gm, 3),
+            "series_scenes": len(vals),
+            "series_source": os.path.basename(path)}
+
+
 def main():
     if not _wait_for_backend():
         if _report_last_good():
@@ -170,6 +199,7 @@ def main():
 
     paths = SIZE * SIZE * SPP
     mrays = paths * rays_per_path / dt / 1e6
+    series = _series_geomean()
     row = {
         "metric": f"Mrays/sec/chip multiscatter {os.path.basename(SCENE)} "
                   f"@{SIZE}x{SIZE} spp{SPP} wf={cfg.wavefront}"
@@ -181,6 +211,13 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
     }
+    # second first-class metric (r4 verdict #8): the geomean of the most
+    # recent committed scaling-series capture (scripts/bench_series.py,
+    # 50 -> 40k Gaussians), so at-scale progress is recorded round over
+    # round next to the headline — not re-measured here (a fresh series
+    # is a ~30 min capture; the committed artifact is the measurement).
+    if series:
+        row.update(series)
     print(json.dumps(row))
     # record for the tunnel-down fallback — only canonical invocations
     # (default scene/size/spp, no wavefront override): a one-off

@@ -295,7 +295,7 @@ def mc_camera_rays(scene: Scene, camera, cfg: RenderConfig, ids, sample_idx):
 def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
                       static_lights):
     """Persistent-wavefront megakernel path for the fused VMEM kernel
-    (N <= 256): the ENTIRE sample/bounce loop — regeneration, camera
+    (N <= MEGA_MAX_GAUSSIANS): the ENTIRE sample/bounce loop — regeneration, camera
     rays, RNG, bounce, NEE, RR, accumulation — runs inside one Pallas
     program per ray block (kernels/megatrace.py).  The per-bounce
     dispatch structure measured ~0.9 ms of launch + XLA-glue tax per
@@ -482,10 +482,16 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
     use_compact = 0 < k_cand < gmm.n
 
     use_pallas = _pallas_enabled(cfg)
-    use_big = False
+    use_big = use_mega = False
     if use_pallas:
-        from gvr_tpu.kernels.pathtrace import pallas_supported_n
-        use_big = not pallas_supported_n(gmm.n)
+        from gvr_tpu.kernels.pathtrace import (pallas_supported_n,
+                                               mega_supported_n)
+        # the persistent megakernel holds the table VMEM-resident past the
+        # per-bounce kernel's 256 cap, so the mega wavefront serves the
+        # 256-2000 midrange directly (r4 verdict #3); the step wavefront
+        # falls to the chunk-streaming kernel there
+        use_mega = cfg.wavefront == "mega" and mega_supported_n(gmm.n)
+        use_big = not use_mega and not pallas_supported_n(gmm.n)
         if use_big:
             from gvr_tpu.kernels.pathtrace_big import (
                 pack_table_t, bounce_step_pallas_big)
@@ -498,11 +504,11 @@ def wavefront_pixels(scene: Scene, camera, cfg: RenderConfig, ids,
                 tuple(tuple(float(v) for v in r)
                       for r in np.asarray(scene.lights_i)),
                 tuple(float(v) for v in np.asarray(scene.env_color)))
+        if use_mega:
+            return _wavefront_planes(scene, camera, cfg, ids,
+                                     static_lights)
         if not use_big:
             # 2-D lane-plane fast path (layout + Mosaic RNG; see docstring)
-            if cfg.wavefront == "mega":
-                return _wavefront_planes(scene, camera, cfg, ids,
-                                         static_lights)
             return _wavefront_planes_step(scene, camera, cfg, ids,
                                           static_lights)
         table = pack_table_t(gmm)

@@ -175,13 +175,16 @@ def _coeffs_mxu(col, ox, oy, oz, dx, dy, dz):
         ox * dx, oy * dy, oz * dz,
         ox * dy + oy * dx, ox * dz + oz * dx, oy * dz + oz * dy,
         dx, dy, dz, jnp.zeros_like(dx)], axis=0)          # [16, blk]
-    w = jnp.concatenate([col(16, 32), col(32, 48)], axis=0)  # [2Np, 16]
-    ab = jax.lax.dot_general(
+    # two dots, not one stacked [2Np, 16] contraction: Mosaic cannot
+    # sublane-concat two slices taken at different LANE offsets of the
+    # same ref ("result/input offset mismatch on non-concat dimension",
+    # caught by the r5 on-silicon A/B) — and two [Np,16]x[16,blk] dots
+    # use the MXU identically.
+    dot = lambda w: jax.lax.dot_general(
         w, f, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-    npad = ab.shape[0] // 2
-    return ab[:npad], ab[npad:]
+    return dot(col(16, 32)), dot(col(32, 48))
 
 
 def _interval(col, ox, oy, oz, dx, dy, dz, a, b):
@@ -459,13 +462,25 @@ def _bounce_call(table, rays, lights_p, lights_i, env_color,
 
 # ~10 [N, blk] fp32 arrays stay live across the solver loop plus Mosaic
 # temporaries (~2-3x on top).  v5e accepts vmem_limit_bytes well above the
-# 16 MB default scoped limit (probed up to 100 MB), so the kernel requests
-# 64 MB and sizes blocks for ~0.5 MB per live array.
-_PAIR_ELEMS = 1 << 17
-_VMEM_LIMIT = 64 * 1024 * 1024
-# Above this the chunk-culling kernel (pathtrace_big) wins: measured equal
-# at N=250 and 1.3-2.7x faster at 1k/2.5k/10k/20k.
+# 16 MB default scoped limit (probed up to 100 MB).  Block size and limit
+# were SWEPT on silicon (scripts/ab_block_sweep.py, r5 capture
+# benchmarks/block_sweep_r5.json): at N=250 the production bounce kernel
+# runs 122.9 ns/ray at blk256/vmem100 vs 155.7 at the old static-arithmetic
+# default blk512/vmem64 (~1.27x) — smaller blocks double-buffer better and
+# the raised limit lets Mosaic keep both ray blocks resident.
+_PAIR_ELEMS = 1 << 16
+_VMEM_LIMIT = 100 * 1024 * 1024
+# Above this the chunk-culling kernel (pathtrace_big) wins for the
+# per-bounce STEP wavefront: measured equal at N=250 and 1.3-2.7x faster
+# at 1k/2.5k/10k/20k.
 MAX_PALLAS_GAUSSIANS = 256
+# The persistent megakernel keeps the whole table VMEM-resident (only
+# Np x 512 bytes — ~1 MB at N=2048) and dodges the step path's ~0.9
+# ms/iteration dispatch tax, so it stays eligible into the 256-2000
+# midrange that used to fall to the slowest engine (r4 verdict #3).
+# Throughput is A/B'd on silicon per scene size (benchmarks/mega_midrange
+# artifacts); the grid engine takes over past GRID_MIN_N.
+MEGA_MAX_GAUSSIANS = 2048
 
 
 def auto_block(n_padded: int) -> int:
@@ -475,10 +490,17 @@ def auto_block(n_padded: int) -> int:
 
 
 def pallas_supported_n(n: int) -> bool:
-    """Whether the fused kernel can hold n Gaussians in VMEM.  Larger sets
-    fall back to the XLA wavefront (big-N tile culling is future work)."""
+    """Whether the fused per-bounce kernel should hold n Gaussians in VMEM.
+    Larger sets go to the chunk-streaming kernel (pathtrace_big)."""
     np_ = max(8, ((n + 7) // 8) * 8)
     return np_ <= MAX_PALLAS_GAUSSIANS
+
+
+def mega_supported_n(n: int) -> bool:
+    """Whether the persistent megakernel can take n Gaussians (table plus
+    [N, blk] working set VMEM-resident at auto_block's shrunken block)."""
+    np_ = max(8, ((n + 7) // 8) * 8)
+    return np_ <= MEGA_MAX_GAUSSIANS
 
 
 def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,

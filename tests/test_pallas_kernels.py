@@ -157,6 +157,46 @@ def test_megakernel_matches_step_wavefront(rng):
     np.testing.assert_allclose(img_mega, img_xla, atol=1e-4)
 
 
+def test_megakernel_midrange_matches_big_and_xla(rng):
+    """Midrange mega (256 < N <= MEGA_MAX_GAUSSIANS): the persistent
+    megakernel keeps serving scenes past the per-bounce kernel's 256 cap
+    (the step wavefront falls to the chunk-streaming big kernel there).
+    mega reduces over [N, blk] sublanes while big reduces over compacted
+    chunk lanes, so sums differ in association order — marginal scatter
+    decisions can flip and diverge chaotically on a few pixels (CLAUDE.md
+    invariants), hence mean/median bars, not max-abs."""
+    import dataclasses
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.integrators.multiscatter import wavefront_pixels
+    from gvr_tpu.kernels.pathtrace import (pallas_supported_n,
+                                           mega_supported_n)
+
+    n = 1000
+    assert not pallas_supported_n(n) and mega_supported_n(n)
+    sc = parse_gmm(random_gaussian_scene(n, seed=11,
+                                         diameter=(0.05, 0.25),
+                                         density=(0.5, 2.0)))
+    sc = sc.with_medium(sc.medium.morton_sorted())
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    cfg = RenderConfig(width=16, height=16, spp=4, max_bounces=4,
+                       pallas="interpret", wavefront="mega")
+    ids = jnp.arange(256, dtype=jnp.int32)
+
+    img_mega = np.asarray(wavefront_pixels(sc, cam, cfg, ids))
+    img_big = np.asarray(wavefront_pixels(
+        sc, cam, dataclasses.replace(cfg, wavefront="step"), ids))
+    img_xla = np.asarray(wavefront_pixels(
+        sc, cam, dataclasses.replace(cfg, pallas="off"), ids))
+
+    assert np.isfinite(img_mega).all()
+    for other, label in ((img_big, "big"), (img_xla, "xla")):
+        dm = np.abs(img_mega - other)
+        assert np.median(dm) < 1e-4, (label, np.median(dm))
+        assert abs(img_mega.mean() - other.mean()) < 5e-3 * max(
+            other.mean(), 1e-6), (label, img_mega.mean(), other.mean())
+
+
 def test_mxu_coeffs_match_fma_against_f64(rng):
     """The MXU coefficient contraction (_coeffs_mxu + pack_table's weight
     columns 16:48) and the VPU FMA chain (_coeffs) must both sit within
