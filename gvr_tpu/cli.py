@@ -53,6 +53,16 @@ def cmd_render(args):
                        solver=Solver(args.solver), seed=args.seed,
                        pallas=args.pallas)
     is_gmm = isinstance(scene.medium, GaussianMixture)
+    # voxel media (.npz) have no analytic transmittance: only the
+    # medium-agnostic pure ray-marcher can render them — route there
+    # instead of surfacing an AttributeError from a GMM-only path
+    from gvr_tpu.scene.voxels import VoxelGrid
+    if isinstance(scene.medium, VoxelGrid):
+        if args.integrator not in ("raymarch", "pureraymarch"):
+            raise SystemExit(
+                "voxel media render with the medium-agnostic marcher only; "
+                "use --integrator pureraymarch (or raymarch)")
+        args.integrator = "pureraymarch"
 
     cfg = cfg.replace(engine=args.engine)
     stats = None
@@ -69,6 +79,9 @@ def cmd_render(args):
     elif args.integrator == "raymarch":
         img = (render_raymarch_gaussians if is_gmm
                else render_raymarch_spheres)(scene, camera, cfg)
+    elif args.integrator == "pureraymarch":
+        from gvr_tpu.integrators import render_pure_raymarch
+        img = render_pure_raymarch(scene, camera, cfg)
     elif args.integrator == "hitmask":
         img = render_hit_mask(scene, camera, cfg)
     else:
@@ -157,7 +170,7 @@ def main(argv=None):
     pr.add_argument("-o", "--output", default="output.ppm")
     pr.add_argument("--integrator", default="multiscatter",
                     choices=["multiscatter", "singlescatter", "raymarch",
-                             "hitmask"])
+                             "pureraymarch", "hitmask"])
     pr.add_argument("--spp", type=int, default=256)
     pr.add_argument("--step-size", dest="step_size", type=float, default=0.01)
     pr.add_argument("--env-samples", dest="env_samples", type=int, default=20)

@@ -220,13 +220,18 @@ def load_vdb(path: Union[str, os.PathLike]) -> Scene:
 
 
 def load_scene(path: Union[str, os.PathLike],
-               env_color=DEFAULT_ENV_COLOR) -> Scene:
+               env_color=None) -> Scene:
     """Auto-detect format: .npz is a voxel grid; a text scene with 'g'
-    lines is a GMM, 's' lines SMM."""
+    lines is a GMM, 's' lines SMM.  ``env_color=None`` means "use the
+    file's env_color if it has one, else the reference default" — a None
+    sentinel rather than a value compare, so a caller explicitly passing
+    the default tuple keeps it, and array-valued env_colors don't hit
+    numpy's ambiguous-truth-value error."""
     if str(path).endswith(".npz"):
         from gvr_tpu.scene.voxels import load_voxels
-        return load_voxels(path, env_color if env_color !=
-                           DEFAULT_ENV_COLOR else None)
+        return load_voxels(path, env_color)
+    if env_color is None:
+        env_color = DEFAULT_ENV_COLOR
     text = _read_text(path)
     tags = {tag for tag, _ in _parse_lines(text)}
     if "g" in tags:
