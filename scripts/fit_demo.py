@@ -11,6 +11,8 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import dataclasses
+import json
 import math
 import time
 
@@ -47,6 +49,12 @@ def main():
                     help="pixels per optimizer step")
     ap.add_argument("--out", default="/tmp/fit_demo")
     ap.add_argument("--gif", action="store_true")
+    ap.add_argument("--interrupt-at", dest="interrupt_at", type=int,
+                    default=0,
+                    help="simulate a mid-run failure: stop the fit at this "
+                         "iteration, then resume from the written ckpt.npz "
+                         "to --iters — exercises checkpoint/resume on the "
+                         "real workload, not just the unit test")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -81,13 +89,49 @@ def main():
     print(f"initial PSNR vs target: {psnr0:.2f} dB")
 
     cfg = FitConfig(max_iters=args.iters, lr=args.lr, save_every=25,
-                    out_dir=args.out)
+                    checkpoint_every=50, out_dir=args.out)
+
+    # PSNR trajectory (VERDICT r4 #7): evaluate the in-flight scene
+    # against the target every save_every iterations at a modest spp and
+    # append one JSONL row per eval — the committed loss curve.
+    traj_path = f"{args.out}/fit_log.jsonl"
+    traj = open(traj_path, "w")
+    rc_traj = RenderConfig(width=args.size, height=args.size, spp=32)
     t0 = time.time()
-    fitted = fit_gaussians(scene_init, cam, target, cfg,
-                           batch_pixels=args.batch, n_bounces=args.bounces,
-                           spp=args.spp, rr_after=args.rr_after,
-                           candidate_k=args.candidate_k)
-    print(f"fit time: {time.time() - t0:.1f}s")
+
+    def log(msg):
+        print(msg, flush=True)
+        traj.write(json.dumps({"log": msg,
+                               "elapsed": round(time.time() - t0, 2)})
+                   + "\n")
+        traj.flush()
+
+    def snapshot(it, scene_now):
+        img = np.asarray(render_multiscatter(scene_now, cam, rc_traj))
+        p = float(psnr(np.clip(img, 0, 1), np.clip(np.asarray(target), 0, 1)))
+        traj.write(json.dumps({"iter": it, "psnr_vs_target": round(p, 3),
+                               "elapsed": round(time.time() - t0, 2)})
+                   + "\n")
+        traj.flush()
+        print(f"[traj] iter {it} PSNR {p:.2f} dB", flush=True)
+
+    kw = dict(batch_pixels=args.batch, n_bounces=args.bounces,
+              spp=args.spp, rr_after=args.rr_after,
+              candidate_k=args.candidate_k, log=log,
+              save_snapshot=snapshot)
+    if args.interrupt_at:
+        cfg1 = dataclasses.replace(cfg, max_iters=args.interrupt_at)
+        fit_gaussians(scene_init, cam, target, cfg1, **kw)
+        print(f"--- simulated interruption at iter {args.interrupt_at}; "
+              f"resuming from {args.out}/ckpt.npz ---", flush=True)
+        fitted = fit_gaussians(scene_init, cam, target, cfg,
+                               resume=f"{args.out}/ckpt.npz", **kw)
+    else:
+        fitted = fit_gaussians(scene_init, cam, target, cfg, **kw)
+    fit_time = time.time() - t0
+    print(f"fit time: {fit_time:.1f}s "
+          f"({1000 * fit_time / max(args.iters, 1):.0f} ms/iter "
+          f"incl trajectory evals)")
 
     final_img = render_multiscatter(fitted, cam, rc)
     write_ppm(f"{args.out}/final.ppm", final_img)

@@ -105,20 +105,107 @@ def build_section() -> str:
     return "\n".join(lines)
 
 
+BEGIN5, END5 = "<!-- r5-bench:begin -->", "<!-- r5-bench:end -->"
+
+
+def build_section_r5() -> str:
+    """Round-5 measured-results block, rendered from benchmarks/*_r5*."""
+    lines = [BEGIN5, "", "### Round-5 measured results (v5e single chip)", ""]
+    have_any = False
+
+    h64 = _rows("benchmarks/headline_spp64_r5.json")
+    h256 = _rows("benchmarks/headline_spp256_r5.json")
+    for label, rows in (("spp 64 headline", h64), ("spp 256 headline", h256)):
+        if rows:
+            r = rows[-1]
+            lines.append(f"* **{label}**: {r['value']} {r['unit']} "
+                         f"({r['metric']}) — {100 * r['vs_baseline']:.1f}% "
+                         f"of the 100 Mrays/s north star.")
+            if "series_geomean_mrays" in r:
+                lines.append(f"  * scaling-series geomean "
+                             f"{r['series_geomean_mrays']} Mrays/s over "
+                             f"{r['series_scenes']} scenes "
+                             f"(`benchmarks/{r['series_source']}`).")
+            have_any = True
+
+    bs = _json("benchmarks/block_sweep_r5.json")
+    if bs:
+        best = bs["best"]
+        cur = bs["current_default"]
+        sw = bs["ns_per_ray"]
+        lines.append(f"* **Launch-geometry sweep** (N={bs['N']}, production "
+                     f"bounce kernel): best {best} at "
+                     f"{sw[best]:.1f} ns/ray vs old default {cur} at "
+                     f"{sw[cur]:.1f} ns/ray ({sw[cur] / sw[best]:.2f}×) — "
+                     f"**adopted** (`benchmarks/block_sweep_r5.json`).")
+        have_any = True
+
+    mx = _json("benchmarks/mxu_coeffs_r5.json")
+    if mx and "ns_per_ray" in mx:
+        fma, mxu = mx["ns_per_ray"]["fma"], mx["ns_per_ray"]["mxu"]
+        verdict = ("adopted" if mxu < 0.98 * fma
+                   else "not adopted (within noise or slower)")
+        lines.append(f"* **MXU quadratic-coefficient A/B** (bounce kernel): "
+                     f"{mxu:.1f} vs {fma:.1f} ns/ray "
+                     f"({fma / mxu:.2f}×) — {verdict} "
+                     f"(`benchmarks/mxu_coeffs_r5.json`).")
+        have_any = True
+
+    mm = _json("benchmarks/mega_midrange_r5.json")
+    m1k = _rows("benchmarks/mega_1000g_spp64_r5.json")
+    if mm and "mega" in mm and "step_big" in mm:
+        m, s = mm["mega"]["value"], mm["step_big"]["value"]
+        extra = (f"; spp64: {m1k[-1]['value']} Mrays/s" if m1k else "")
+        lines.append(f"* **Megakernel past N=256** (1000 Gaussians, 512², "
+                     f"spp 16): mega {m} vs chunk-streaming step {s} "
+                     f"Mrays/s ({m / s:.2f}× — the 256–2000 midrange now "
+                     f"runs the fastest engine{extra}) "
+                     f"(`benchmarks/mega_midrange_r5.json`).")
+        have_any = True
+
+    series = _rows("benchmarks/series_r5_512_spp16.jsonl")
+    series = [r for r in series if "scene" in r]
+    if series:
+        prev = {r["scene"]: r for r in
+                _rows("benchmarks/series_r4_512_spp16.jsonl")
+                if "scene" in r}
+        lines += ["", "512² spp16 over the 50 → 40k-Gaussian fixtures "
+                  "(`benchmarks/series_r5_512_spp16.jsonl`):", "",
+                  "| scene | engine | r4 Mrays/s | r5 Mrays/s | speedup |",
+                  "|---|---|---|---|---|"]
+        for r in series:
+            name = r["scene"].replace(".txt", "")
+            p = prev.get(r["scene"])
+            r4m = f"{p['mrays_per_sec']}" if p else "—"
+            sp = (f"{r['mrays_per_sec'] / p['mrays_per_sec']:.2f}×"
+                  if p else "—")
+            lines.append(f"| {name} | {r.get('engine', '?')} | {r4m} | "
+                         f"{r['mrays_per_sec']} | {sp} |")
+        have_any = True
+
+    if not have_any:
+        lines.append("*(capture pending — the TPU tunnel was down; "
+                     "see `scripts/r5_queue.sh`)*")
+    lines += ["", END5]
+    return "\n".join(lines)
+
+
+def _splice(text: str, section: str, begin: str, end: str) -> str:
+    if begin in text and end in text:
+        return (text[:text.index(begin)] + section
+                + text[text.index(end) + len(end):])
+    return text.rstrip("\n") + "\n\n" + section + "\n"
+
+
 def main():
     path = os.path.join(REPO, "README.md")
     with open(path) as f:
         text = f.read()
-    section = build_section()
-    if BEGIN in text and END in text:
-        pre = text[:text.index(BEGIN)]
-        post = text[text.index(END) + len(END):]
-        text = pre + section + post
-    else:
-        text = text.rstrip("\n") + "\n\n" + section + "\n"
+    text = _splice(text, build_section(), BEGIN, END)
+    text = _splice(text, build_section_r5(), BEGIN5, END5)
     with open(path, "w") as f:
         f.write(text)
-    print("README r4 section updated")
+    print("README r4+r5 sections updated")
 
 
 if __name__ == "__main__":
