@@ -33,6 +33,9 @@ MXU_COEFFS = bool(int(os.environ.get("BENCH_MXU_COEFFS", "0")))
 # dense-kernel ray-block override (0 = auto; multiple of 128) — the e2e
 # side of the launch-geometry sweep (scripts/ab_block_sweep.py)
 BLOCK = int(os.environ.get("BENCH_BLOCK", "0"))
+# evaluate the tau transcendental sweep in bf16 (RenderConfig.tau_bf16;
+# A/B knob for scripts/ab_tau_bf16.py)
+TAU_BF16 = bool(int(os.environ.get("BENCH_TAU_BF16", "0")))
 TARGET_MRAYS = 100.0
 # Bounded tunnel wait: the axon TPU relay occasionally drops the claim and
 # every device op hangs forever (CLAUDE.md).  Probe in a subprocess (a hung
@@ -170,6 +173,7 @@ def main():
     camera = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
     cfg = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
                        mxu_coeffs=MXU_COEFFS, block=BLOCK,
+                       tau_bf16=TAU_BF16,
                        **({"wavefront": WAVEFRONT} if WAVEFRONT else {}))
 
     rays_per_path = path_statistics(scene, camera, cfg)["rays_per_path"]
@@ -204,6 +208,7 @@ def main():
         "metric": f"Mrays/sec/chip multiscatter {os.path.basename(SCENE)} "
                   f"@{SIZE}x{SIZE} spp{SPP} wf={cfg.wavefront}"
                   f"{' mxu-coeffs' if MXU_COEFFS else ''}"
+                  f"{' tau-bf16' if TAU_BF16 else ''}"
                   f"{f' block={BLOCK}' if BLOCK else ''}"
                   f"{' (mega-fallback)' if fell_back else ''} "
                   f"({rays_per_path:.2f} rays/path)",
@@ -230,7 +235,7 @@ def main():
     overridden = any(os.environ.get(k) for k in
                      ("BENCH_SCENE", "BENCH_SIZE", "BENCH_SPP",
                       "BENCH_WAVEFRONT"))
-    if not overridden and not MXU_COEFFS and not BLOCK:
+    if not overridden and not MXU_COEFFS and not BLOCK and not TAU_BF16:
         try:
             import jax
             if jax.devices()[0].platform != "cpu":

@@ -103,6 +103,15 @@ class RenderConfig:
     # step and mega wavefronts; the grid and big-N kernels keep the FMA
     # chain (their table views carry no weight columns).
     mxu_coeffs: bool = False
+    # evaluate the dense kernels' [N, rays] tau transcendental sweep
+    # (the erf/exp pairs of the clipped-interval optical depth — the
+    # measured hot spot, docs/PERF_STUDIES.md #4) in bf16, keeping the
+    # bracket geometry, the Illinois root update, the analytic finisher
+    # and every reduction in f32.  Off by default: adoption requires the
+    # on-silicon A/B (scripts/ab_tau_bf16.py) to show a speedup AND the
+    # golden-parity bars to hold (the reference guards the same sum with
+    # a double accumulator, gmm.h:210,521 — inverted here for TPU).
+    tau_bf16: bool = False
     # grid-engine in-cell solve trip count: the bracket is one cell
     # crossing and the analytic erfinv finisher handles the (common)
     # single-active case exactly, so 6 iterations measure max |dt| ~9e-6

@@ -321,7 +321,7 @@ def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
     cfg_t = (cfg.width, cfg.height, cfg.spp, strat_n(cfg.spp), cfg.seed,
              cfg.solver_iters, cfg.min_scatter, cfg.rr_cap,
              cfg.rr_tail_after, cfg.rr_cap_tail, cfg.max_bounces,
-             cfg.solver_finisher, cfg.mxu_coeffs)
+             cfg.solver_finisher, cfg.mxu_coeffs, cfg.tau_bf16)
     out = mega_call(camera_vector(camera), table, ids[None], cfg_t,
                     lights_t, inten_t, env_t, block,
                     cfg.pallas == "interpret",
@@ -399,7 +399,8 @@ def _wavefront_planes_step(scene: Scene, camera, cfg: RenderConfig, ids,
             jnp.zeros((5, b), jnp.float32)], axis=0)
         out = _bounce_call(table, rays, lights_t, inten_t, env_t,
                            cfg.solver_iters, block, interp,
-                           cfg.solver_finisher, cfg.mxu_coeffs)
+                           cfg.solver_finisher, cfg.mxu_coeffs,
+                           cfg.tau_bf16)
         out = out.reshape(8, r, 128)
         t_sc = out[0]
         scattered = out[1] > 0.5

@@ -70,10 +70,10 @@ def _make_mega_kernel(cfg_t, lights_p, lights_i, env_color, n_lights,
                       pinhole: bool):
     """cfg_t: (w, h, spp, n_strat, seed, solver_iters, min_scatter,
     rr_cap, rr_tail_after, rr_cap_tail, max_bounces, finisher,
-    mxu_coeffs)."""
+    mxu_coeffs, tau_bf16)."""
     (w, h, spp, n_strat, seed, solver_iters, min_scatter, rr_cap,
      rr_tail_after, rr_cap_tail, max_bounces, finisher,
-     mxu_coeffs) = cfg_t
+     mxu_coeffs, tau_bf16) = cfg_t
     sd = seed & 0xFFFFFFFF
     seed_mix, seed_raw = _mix32_py(sd), sd
     w_ne = float(n_lights + 1) if n_lights else 1.0
@@ -181,7 +181,7 @@ def _make_mega_kernel(cfg_t, lights_p, lights_i, env_color, n_lights,
              _fin) = _bounce_core(
                 col, ox, oy, oz, dx, dy, dz, xi[0], xi[1], xi[2],
                 xi[3], xi[4], lights_p, lights_i, env, solver_iters,
-                n_lights, finisher, mxu_coeffs)
+                n_lights, finisher, mxu_coeffs, tau_bf16)
 
             escaped = alive & ~scattered
             ax = ax + jnp.where(escaped, tx * env[0], 0.0)

@@ -211,9 +211,20 @@ def _interval(col, ox, oy, oz, dx, dy, dz, a, b):
     return t0, t1, m2, ok
 
 
-def _tau_nee(col, px, py, pz, wx, wy, wz, tmax, mxu_coeffs=False):
+def _erf_bf16(x):
+    """erf with the transcendental evaluation (exp + A&S polynomial) in
+    bf16 and an f32 result — the `tau_bf16` sweep variant.  The argument
+    arrives f32 (geometry stays full precision); only the VPU-heavy
+    polynomial runs half-width."""
+    xb = x.astype(jnp.bfloat16)
+    return _erf_from_exp(xb, jnp.exp(-xb * xb)).astype(jnp.float32)
+
+
+def _tau_nee(col, px, py, pz, wx, wy, wz, tmax, mxu_coeffs=False,
+             tau_bf16=False):
     """One-shot clipped optical depth along shadow/env rays: [1, blk]."""
     coeffs = _coeffs_mxu if mxu_coeffs else _coeffs
+    erf = _erf_bf16 if tau_bf16 else _erf
     a, b = coeffs(col, px, py, pz, wx, wy, wz)
     dens_norm = col(10)
     a_s = jnp.maximum(a, 1e-30)
@@ -223,7 +234,7 @@ def _tau_nee(col, px, py, pz, wx, wy, wz, tmax, mxu_coeffs=False):
     sa = jnp.sqrt(a_s)
     zoff = b * (0.5 / sa)
     pref = dens_norm * jnp.exp(-0.5 * m2) * jnp.sqrt(jnp.pi / (2.0 * a_s))
-    f = lambda t: _erf((sa * t + zoff) * SQRT_HALF)
+    f = lambda t: erf((sa * t + zoff) * SQRT_HALF)
     seg = pref * (f(hi) - f(t0))
     return jnp.sum(jnp.where(ok, seg, 0.0), axis=0, keepdims=True)
 
@@ -255,15 +266,18 @@ def _finisher_root(tgt, tau_done, n_act, nxt, prv, sa1, zoff1, pref1,
 def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
                  u_env1, u_env2, lights_p, lights_i, env_color,
                  solver_iters, n_lights, finisher: bool = False,
-                 mxu_coeffs: bool = False):
+                 mxu_coeffs: bool = False, tau_bf16: bool = False):
     """The bounce math on [1, blk] ray rows against [N, 1] feature
     columns: free-flight solve + albedo + NEE.  Shared by the per-bounce
     kernel below and the persistent wavefront megakernel
     (kernels/megatrace.py).  Returns (t_sc, scattered, albedo,
     lix, liy, liz, tau_tot, fin) — all [1, blk].  ``mxu_coeffs`` routes
     the quadratic-coefficient bilinears through the MXU (needs a
-    (lo, hi)-capable ``col``)."""
+    (lo, hi)-capable ``col``); ``tau_bf16`` evaluates the [N, blk]
+    erf/exp transcendental sweep in bf16 (geometry, root updates and
+    reductions stay f32 — RenderConfig.tau_bf16)."""
     coeffs = _coeffs_mxu if mxu_coeffs else _coeffs
+    erf = _erf_bf16 if tau_bf16 else _erf
     a, b = coeffs(col, ox, oy, oz, dx, dy, dz)
     dens_norm = col(10)
     a_s = jnp.maximum(a, 1e-30)
@@ -273,8 +287,8 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
     zoff = b * (0.5 / sa)
     peak = dens_norm * jnp.exp(-0.5 * m2)
     pref = jnp.where(ok, peak * jnp.sqrt(jnp.pi / (2.0 * a_s)), 0.0)
-    erf_lo = _erf((sa * t0 + zoff) * SQRT_HALF)
-    erf_hi = _erf((sa * t1 + zoff) * SQRT_HALF)
+    erf_lo = erf((sa * t0 + zoff) * SQRT_HALF)
+    erf_hi = erf((sa * t1 + zoff) * SQRT_HALF)
     tau_i = pref * (erf_hi - erf_lo)
     t0m = jnp.where(ok, t0, BIG)
     t1m = jnp.where(ok, t1, 0.0)
@@ -295,8 +309,14 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
     def newton_body(_, st):
         lo, hi, flo, fhi, t = st
         z = sa * t + zoff                                 # [N, blk]
-        ez = jnp.exp(-0.5 * z * z)    # shared: erf factor == extinction
-        ferf = _erf_from_exp(z * SQRT_HALF, ez)
+        if tau_bf16:
+            zb = z.astype(jnp.bfloat16)
+            ezb = jnp.exp(-0.5 * zb * zb)   # shared: erf factor == extinction
+            ferf = _erf_from_exp(zb * SQRT_HALF, ezb).astype(jnp.float32)
+            ez = ezb.astype(jnp.float32)
+        else:
+            ez = jnp.exp(-0.5 * z * z)    # shared: erf factor == extinction
+            ferf = _erf_from_exp(z * SQRT_HALF, ez)
         seg = jnp.where(t >= t1m, tau_i, pref * (ferf - erf_lo))
         seg = jnp.where(t > t0m, seg, 0.0)
         tau = jnp.sum(seg, axis=0, keepdims=True)
@@ -394,7 +414,8 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
         tmax = jnp.where(is_env, 1e8, dist)
         inv_d2 = inv_dist * inv_dist
 
-    tau_nee = _tau_nee(col, px, py, pz, wx, wy, wz, tmax, mxu_coeffs)
+    tau_nee = _tau_nee(col, px, py, pz, wx, wy, wz, tmax, mxu_coeffs,
+                       tau_bf16)
     tr = jnp.exp(-tau_nee)
     env = env_color
     lix = jnp.where(is_env, tr * (env[0] * FOUR_PI), tr * radx * inv_d2)
@@ -404,7 +425,8 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
 
 
 def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
-                 finisher: bool = False, mxu_coeffs: bool = False):
+                 finisher: bool = False, mxu_coeffs: bool = False,
+                 tau_bf16: bool = False):
     """Build the bounce kernel with scene lights baked in as constants."""
 
     def kernel(tab_ref, rays_ref, out_ref):
@@ -416,7 +438,7 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
             col, row(0), row(1), row(2), row(3), row(4), row(5),
             row(6), row(7), row(8), row(9), row(10),
             lights_p, lights_i, env_color, solver_iters, n_lights,
-            finisher, mxu_coeffs)
+            finisher, mxu_coeffs, tau_bf16)
         out_ref[0:1, :] = t_sc
         out_ref[1:2, :] = scattered.astype(jnp.float32)
         out_ref[2:3, :] = albedo
@@ -431,13 +453,14 @@ def _make_kernel(lights_p, lights_i, env_color, solver_iters, n_lights,
 
 @functools.partial(jax.jit, static_argnames=(
     "solver_iters", "lights_p", "lights_i", "env_color", "block",
-    "finisher", "mxu_coeffs",
+    "finisher", "mxu_coeffs", "tau_bf16",
     "interpret"))
 def _bounce_call(table, rays, lights_p, lights_i, env_color,
                  solver_iters: int, block: int, interpret: bool,
-                 finisher: bool = False, mxu_coeffs: bool = False):
+                 finisher: bool = False, mxu_coeffs: bool = False,
+                 tau_bf16: bool = False):
     kernel = _make_kernel(lights_p, lights_i, env_color, solver_iters,
-                          len(lights_p), finisher, mxu_coeffs)
+                          len(lights_p), finisher, mxu_coeffs, tau_bf16)
     b = rays.shape[1]
     grid = (b // block,)
     return pl.pallas_call(
@@ -506,7 +529,7 @@ def mega_supported_n(n: int) -> bool:
 def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,
                        solver_iters: int = 14, block: int = 0,
                        interpret: bool = False, finisher: bool = False,
-                       mxu_coeffs: bool = False):
+                       mxu_coeffs: bool = False, tau_bf16: bool = False):
     """One fused bounce for a ray batch.
 
     table: [Np, 128] from pack_table; o, d: [B,3]; xi: [B, >=5] uniforms
@@ -533,7 +556,7 @@ def bounce_step_pallas(table, o, d, xi, lights_p, lights_i, env_color,
         env = tuple(float(v) for v in np.asarray(env_color))
 
     out = _bounce_call(table, rays, lp, li_, env, solver_iters, block,
-                       interpret, finisher, mxu_coeffs)
+                       interpret, finisher, mxu_coeffs, tau_bf16)
     out = out[:, :bsz]
     return (out[0], out[1] > 0.5, out[2],
             jnp.stack([out[3], out[4], out[5]], axis=-1), out[6])

@@ -197,6 +197,35 @@ def test_megakernel_midrange_matches_big_and_xla(rng):
             other.mean(), 1e-6), (label, img_mega.mean(), other.mean())
 
 
+def test_tau_bf16_tracks_f32(rng):
+    """RenderConfig.tau_bf16 (the mixed-precision tau sweep, r4 verdict
+    #6) evaluates ONLY the [N, blk] erf/exp transcendentals in bf16 —
+    geometry, root updates and reductions stay f32 — so outputs must
+    track the f32 kernel to bf16 resolution: tau within ~1%, scatter
+    decisions flipping only on boundary lanes, and roots/albedo/Li
+    agreeing in the median (per-lane divergence on flipped lanes is
+    chaotic, CLAUDE.md invariants)."""
+    from gvr_tpu.kernels.pathtrace import pack_table, bounce_step_pallas
+    sc = parse_gmm(random_gaussian_scene(120, seed=1,
+                                         diameter=(0.1, 0.4),
+                                         density=(0.5, 2.0)))
+    g = sc.medium
+    o, d, xi = _random_rays(512, jax.random.key(0))
+    run = lambda bf16: bounce_step_pallas(
+        pack_table(g), o, d, xi, sc.lights_p, sc.lights_i, sc.env_color,
+        interpret=True, tau_bf16=bf16)
+    t_f, sc_f, alb_f, li_f, tau_f = (np.asarray(x) for x in run(False))
+    t_b, sc_b, alb_b, li_b, tau_b = (np.asarray(x) for x in run(True))
+
+    assert (sc_f == sc_b).mean() > 0.98
+    np.testing.assert_allclose(tau_b, tau_f, rtol=0.03, atol=5e-3)
+    m = sc_f & sc_b
+    assert m.sum() > 10
+    assert np.median(np.abs(t_b - t_f)[m]) < 2e-2
+    assert np.median(np.abs(alb_b - alb_f)[m]) < 2e-2
+    assert np.median(np.abs(li_b - li_f)[m.nonzero()[0]]) < 5e-2
+
+
 def test_mxu_coeffs_match_fma_against_f64(rng):
     """The MXU coefficient contraction (_coeffs_mxu + pack_table's weight
     columns 16:48) and the VPU FMA chain (_coeffs) must both sit within
