@@ -43,6 +43,25 @@ class FitState:
     iteration: int
 
 
+def _mc_mean(render, sample_ids):
+    """Memory-bounded MC mean over the sample axis.
+
+    A plain ``vmap(render)(samples)`` materializes every per-sample
+    ``[bounces, rays, N]`` residual for the backward pass at once —
+    [8,16,4096,50] f32 temps OOM'd the 16 GB v5e on the N=50 fit at
+    spp=16.  A ``lax.scan`` with ``jax.checkpoint`` on the per-sample
+    render keeps one sample's residuals live and recomputes the rest in
+    the backward sweep: memory is O(1) in spp, FLOPs ~2x forward.
+    """
+    out = jax.eval_shape(render, sample_ids[0])
+
+    def body(acc, si):
+        return acc + jax.checkpoint(render)(si), None
+
+    tot, _ = jax.lax.scan(body, jnp.zeros(out.shape, out.dtype), sample_ids)
+    return tot / sample_ids.shape[0]
+
+
 def fit_loss(params, scene_template: Scene, origin, direction, rng_ids,
              target, n_bounces: int = 4, spp: int = 1, loss: str = "l2_dual",
              seed=0, candidate_k: int = 0, rr_after: int = 0):
@@ -70,14 +89,14 @@ def fit_loss(params, scene_template: Scene, origin, direction, rng_ids,
                                           rr_after=rr_after)
 
     if loss == "l2_dual":
-        x1 = jnp.mean(jax.vmap(render)(jnp.arange(spp) * 2), axis=0)
-        x2 = jnp.mean(jax.vmap(render)(jnp.arange(spp) * 2 + 1), axis=0)
+        x1 = _mc_mean(render, jnp.arange(spp) * 2)
+        x2 = _mc_mean(render, jnp.arange(spp) * 2 + 1)
         e1 = x1 - target
         e2 = x2 - target
         return 0.5 * jnp.mean(e1 * jax.lax.stop_gradient(e2)
                               + jax.lax.stop_gradient(e1) * e2)
 
-    rad = jnp.mean(jax.vmap(render)(jnp.arange(spp)), axis=0)
+    rad = _mc_mean(render, jnp.arange(spp))
     err = rad - target
     if loss == "l2":
         return jnp.mean(err * err)
