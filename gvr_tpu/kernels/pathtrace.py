@@ -64,12 +64,17 @@ def _erf(x):
     return _erf_from_exp(x, jnp.exp(-x * x))
 
 
-def _erf_from_exp(x, expx2):
+def _erf_from_exp(x, expx2, s=None):
     """A&S 7.1.26 erf with the exp(-x^2) factor supplied by the caller.
     In the Newton solver the same exponential is the Gaussian's extinction
     profile exp(-z^2/2) at z = x*sqrt(2) — sharing it saves one
-    transcendental per (gaussian, ray) per iteration."""
-    s = jnp.sign(x)
+    transcendental per (gaussian, ray) per iteration.
+
+    ``s`` lets bf16 callers supply sign(x) computed on the f32 argument:
+    v5e Mosaic has no bf16 vector compare (`arith.cmpf` on bf16 fails
+    "Target does not support this comparison"), so the sign must never
+    be taken on a bf16 tensor."""
+    s = jnp.sign(x) if s is None else s
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * ax)
     y = t * (0.254829592 + t * (-0.284496736 + t * (
@@ -217,7 +222,8 @@ def _erf_bf16(x):
     arrives f32 (geometry stays full precision); only the VPU-heavy
     polynomial runs half-width."""
     xb = x.astype(jnp.bfloat16)
-    return _erf_from_exp(xb, jnp.exp(-xb * xb)).astype(jnp.float32)
+    return _erf_from_exp(xb, jnp.exp(-xb * xb),
+                         s=jnp.sign(x)).astype(jnp.float32)
 
 
 def _tau_nee(col, px, py, pz, wx, wy, wz, tmax, mxu_coeffs=False,
@@ -312,7 +318,8 @@ def _bounce_core(col, ox, oy, oz, dx, dy, dz, u_tau, u_nee, u_light,
         if tau_bf16:
             zb = z.astype(jnp.bfloat16)
             ezb = jnp.exp(-0.5 * zb * zb)   # shared: erf factor == extinction
-            ferf = _erf_from_exp(zb * SQRT_HALF, ezb).astype(jnp.float32)
+            ferf = _erf_from_exp(zb * SQRT_HALF, ezb,
+                                 s=jnp.sign(z)).astype(jnp.float32)
             ez = ezb.astype(jnp.float32)
         else:
             ez = jnp.exp(-0.5 * z * z)    # shared: erf factor == extinction
