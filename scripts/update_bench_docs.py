@@ -163,6 +163,40 @@ def build_section_r5() -> str:
                      f"(`benchmarks/mega_midrange_r5.json`).")
         have_any = True
 
+    # tau_bf16 decision record: kernel + two compile-free e2e pairs + the
+    # golden quality gate (docs/PERF_STUDIES.md §7 has the analysis)
+    tk = _json("benchmarks/tau_bf16_r5.json")
+    tg = _json("benchmarks/tau_bf16_golden_r5.json")
+    p64f = _rows("benchmarks/tau_pair_spp64_f32_r5.json")
+    p64b = _rows("benchmarks/tau_pair_spp64_bf16_r5.json")
+    p16f = _rows("benchmarks/tau_pair_spp16_f32_r5.json")
+    p16b = _rows("benchmarks/tau_bf16_e2e_r5.json")
+    if tk and tg and p64f and p64b:
+        e64f, e64b = p64f[-1]["value"], p64b[-1]["value"]
+        parts = [f"kernel {tk['bf16_speedup']:.2f}×",
+                 f"e2e spp64 {e64b / e64f:.2f}× ({e64f} → {e64b} Mrays/s)"]
+        if p16f and p16b:
+            parts.append(f"e2e spp16 "
+                         f"{p16b[-1]['value'] / p16f[-1]['value']:.2f}×")
+        verdict = ("**adopted**" if e64b > 1.02 * e64f else "**not adopted**")
+        lines.append(
+            f"* **Mixed-precision tau sweep** (`RenderConfig.tau_bf16`): "
+            f"quality passes the 0.1 dB golden gate "
+            f"(Δ{tg['delta_db']} dB at 512² spp{tg['spp']}) but speed: "
+            f"{', '.join(parts)} — {verdict}; v5e evaluates `exp` through "
+            f"the same f32 transcendental pipeline either way, so bf16 "
+            f"only adds converts (docs/PERF_STUDIES.md §7; "
+            f"`benchmarks/tau_bf16_r5.json`, "
+            f"`benchmarks/tau_pair_spp64_bf16_r5.json`).")
+        have_any = True
+
+    if os.path.exists(os.path.join(REPO, "docs/fit_demo/fit50_log.jsonl")):
+        lines.append(
+            "* **Inverse at reference scale** (50_random, 550 params, "
+            "mid-run kill+resume exercised): 14.56 → 25.94 dB in 400 Adam "
+            "iterations, 2231 s on one chip (docs/FIT_DEMO.md).")
+        have_any = True
+
     series = _rows("benchmarks/series_r5_512_spp16.jsonl")
     series = [r for r in series if "scene" in r]
     if series:
