@@ -192,10 +192,14 @@ def fit_value_and_grad_tp(mesh: Mesh, n_bounces: int = 4,
         grads = jax.lax.pmean(grads, RAY_AXIS)
         return val, grads
 
-    return shard_map(
+    # jit is required, not just fast: fit_loss's remat'd spp scan
+    # (inverse/fit._mc_mean) cannot be evaluated eagerly under shard_map
+    # (closed_call has no eager shard_map rule), and this is the hot
+    # training-step anyway.
+    return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P(GAUSS_AXIS), P(), P(), P(),
                   P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
         out_specs=(P(), P(GAUSS_AXIS)),
         check_vma=False,
-    )
+    ))
