@@ -117,6 +117,17 @@ class RenderConfig:
     # single-active case exactly, so 6 iterations measure max |dt| ~9e-6
     # on 1000_random (better than the dense solve at 10)
     grid_solver_iters: int = 6
+    # POOLED path regeneration for the grid wavefront: a dead lane claims
+    # the chunk's next untraced (pixel, sample) instead of idling once its
+    # own pixel's samples are done (gridscatter.wavefront_pixels_grid_pooled).
+    # Estimator-identical per (pixel, sample) — RNG is keyed by
+    # (pixel, sample, bounce) — but per-pixel f32 accumulation regroups
+    # (per-sample slots summed in fixed order), so images differ from the
+    # per-lane engine at the ulp level.  Measured per-lane occupancy is
+    # 0.40-0.88 (benchmarks/occupancy_r5.json); pooling bounds the chunk
+    # loop at ~total_work/lanes + one path tail.  Default False until the
+    # on-silicon A/B (scripts/ab_pool.py) lands its numbers.
+    pool_regen: bool = False
     ray_chunk: int = 1 << 16       # rays per jitted chunk (memory bound)
     seed: int = 0                  # base RNG seed
     # per-ray candidate compaction: the free-flight solver runs on the

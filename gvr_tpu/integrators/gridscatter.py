@@ -312,6 +312,144 @@ def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
     return acc / cfg.spp
 
 
+def wavefront_pixels_grid_pooled(scene: Scene, grid: GridIndex, camera,
+                                 cfg: RenderConfig, ids):
+    """Grid wavefront with POOLED regeneration: a dead lane claims the
+    chunk's next untraced (pixel, sample) from a shared pool instead of
+    idling once its own pixel's samples are exhausted.
+
+    Why: the per-lane scheme (``wavefront_pixels_grid``) runs the chunk's
+    while_loop until its SLOWEST pixel finishes all spp samples — measured
+    lane occupancy on the headline scene is 0.40–0.88 per batch
+    (``benchmarks/occupancy_r5.json``), i.e. up to ~2x of every
+    iteration's sort/DDA/sweep cost is spent on predicated-off lanes.
+    Pooling bounds the loop at ~ceil(total_work / lanes) + one path tail.
+
+    Estimator-identical per (pixel, sample): RNG streams are keyed by
+    (pixel, sample, bounce) (ops/sampling.path_uniforms), so WHICH lane
+    traces a sample never changes its radiance.  Each sample scatters
+    into its own slot of a [b*spp] accumulator and pixels sum their spp
+    slots in fixed sample order, so per-pixel output is bit-deterministic
+    and chunk-layout-invariant (only f32 add GROUPING differs from the
+    per-lane engine: per-sample subtotals instead of one running per-lane
+    sum — ulp-level).
+
+    Pool order is pixel-major (slot g ↦ pixel ids[g // spp], sample
+    g % spp): a pixel's samples are claimed consecutively, keeping
+    same-cell rays temporally clustered for the cell-sorted tau pass.
+    """
+    from gvr_tpu.integrators.multiscatter import strat_n
+
+    b = ids.shape[0]
+    w, h = cfg.width, cfg.height
+    spp = cfg.spp
+    pool_n = b * spp
+    n_strat = strat_n(cfg.spp)
+    interpret = cfg.pallas == "interpret"
+
+    def make_ray(px, sample_idx):
+        xi = path_uniforms(px, sample_idx, 0x7FFF0000, 2, cfg.seed)
+        x = px % w
+        y = px // w
+        sx = (sample_idx % n_strat).astype(jnp.float32)
+        sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
+        u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n_strat) / w
+        v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n_strat) / h
+        return camera.sample_ray(jnp.stack([u, v], axis=-1))
+
+    def cond(state):
+        (o, d, thr, slots, alive, px, smp, g, next_g, bounce, it,
+         p_pos, p_wi, p_tmax, p_val, p_g) = state
+        return (jnp.any(alive) | (next_g < pool_n)
+                | jnp.any(p_val > 0.0)) & (
+            it < cfg.spp * cfg.max_bounces + cfg.max_bounces + 1)
+
+    def body(state):
+        (o, d, thr, slots, alive, px, smp, g, next_g, bounce, it,
+         p_pos, p_wi, p_tmax, p_val, p_g) = state
+
+        # --- pooled regeneration: dead lanes claim consecutive slots ---
+        dead = ~alive
+        di = dead.astype(jnp.int32)
+        rank = jnp.cumsum(di) - di              # exclusive rank among dead
+        g_new = next_g + rank
+        regen = dead & (g_new < pool_n)
+        pix_idx = jnp.clip(g_new // spp, 0, b - 1)
+        px_new = jnp.take(ids, pix_idx)
+        smp_new = g_new % spp
+        g = jnp.where(regen, g_new, g)
+        px = jnp.where(regen, px_new, px)
+        smp = jnp.where(regen, smp_new, smp)
+        next_g = jnp.minimum(next_g + jnp.sum(di), pool_n)
+
+        o_n, d_n = make_ray(px, jnp.where(regen, smp, 0))
+        o = jnp.where(regen[:, None], o_n, o)
+        d = jnp.where(regen[:, None], d_n, d)
+        thr = jnp.where(regen[:, None], 1.0, thr)
+        bounce = jnp.where(regen, 0, bounce)
+        alive = alive | regen
+
+        xi = path_uniforms(px, smp, bounce, 9, cfg.seed)
+
+        # --- ONE tau dispatch: [ext rays ; pending NEE rays] ---
+        o2 = jnp.concatenate([o, p_pos], axis=0)
+        d2 = jnp.concatenate([d, p_wi], axis=0)
+        tmax2 = jnp.concatenate([jnp.where(alive, 1e8, 0.0), p_tmax])
+        tau2, cells2, tin2, tout2 = grid_tau_crossings(
+            grid, o2, d2, tmax2, interpret)
+
+        # pending NEE completion (bounce k-1's shadow rays) -> its slot
+        tr = jnp.exp(-jnp.sum(tau2[b:], axis=-1))
+        slots = slots.at[p_g].add(tr[:, None] * p_val)
+
+        # extension: critical-crossing solve
+        t_sc, scattered, albedo, _ = grid_solve_from_crossings(
+            grid, o, d, tau2[:b], cells2[:b], tin2[:b], tout2[:b],
+            xi[:, 0], cfg.grid_solver_iters, interpret)
+
+        escaped = alive & ~scattered
+        g_esc = jnp.where(escaped, g, pool_n)
+        slots = slots.at[g_esc].add(thr * scene.env_color)
+        alive_n = alive & scattered
+
+        pos = o + jnp.maximum(t_sc, 0.0)[:, None] * d
+        wi, tmax_n, base, w_ne = _nee_select(scene, pos, xi[:, 1],
+                                             xi[:, 2], xi[:, 3:5])
+        weight = thr * (albedo * INV_4PI * w_ne)[:, None] * base
+        p_val_n = jnp.where(alive_n[:, None], weight, 0.0)
+        p_tmax_n = jnp.where(alive_n, tmax_n, 0.0)
+        p_g_n = jnp.where(alive_n, g, pool_n)
+
+        thr_n = thr * albedo[:, None]
+        do_rr = bounce >= cfg.min_scatter
+        cap = jnp.where(bounce >= cfg.rr_tail_after, cfg.rr_cap_tail,
+                        cfg.rr_cap)
+        rr = jnp.minimum(jnp.max(thr_n, axis=-1), cap)
+        killed = do_rr & (xi[:, 5] > rr)
+        thr_n = jnp.where((do_rr & ~killed)[:, None],
+                          thr_n / jnp.maximum(rr, 1e-12)[:, None], thr_n)
+        alive_n = alive_n & ~killed & (bounce + 1 < cfg.max_bounces)
+
+        new_d = _dir_from_xi(xi[:, 6:8])
+        o = jnp.where(alive_n[:, None], pos, o)
+        d = jnp.where(alive_n[:, None], new_d, d)
+        thr = jnp.where(alive_n[:, None], thr_n, thr)
+        return (o, d, thr, slots, alive_n, px, smp, g, next_g,
+                bounce + 1, it + 1, pos, wi, p_tmax_n, p_val_n, p_g_n)
+
+    zeros3 = jnp.zeros((b, 3))
+    state = (zeros3, jnp.ones((b, 3)), jnp.ones((b, 3)),
+             jnp.zeros((pool_n + 1, 3)),            # slot pool + dummy row
+             jnp.zeros(b, bool), ids, jnp.zeros(b, jnp.int32),
+             jnp.zeros(b, jnp.int32), jnp.int32(0),
+             jnp.zeros(b, jnp.int32), jnp.int32(0),
+             zeros3, jnp.ones((b, 3)), jnp.zeros(b), zeros3,
+             jnp.full(b, pool_n, jnp.int32))
+    st = jax.lax.while_loop(cond, body, state)
+    slots = st[3]
+    return slots[:pool_n].reshape(b, spp, 3).sum(axis=1) / cfg.spp
+
+
 # scene-content -> GridIndex cache (host side; rebuilt when gaussians change)
 _GRID_CACHE: dict = {}
 

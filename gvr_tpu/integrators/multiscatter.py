@@ -325,7 +325,8 @@ def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
     out = mega_call(camera_vector(camera), table, ids[None], cfg_t,
                     lights_t, inten_t, env_t, block,
                     cfg.pallas == "interpret",
-                    isinstance(camera, PinholeCamera))
+                    isinstance(camera, PinholeCamera),
+                    pooled=cfg.pool_regen)
     return out[0:3].T[:b0] / cfg.spp
 
 
@@ -685,9 +686,11 @@ def engine_for(cfg: RenderConfig, gmm):
 
 @functools.lru_cache(maxsize=32)
 def _wavefront_grid_fn(cfg: RenderConfig, n_shards: int = 1):
-    from gvr_tpu.integrators.gridscatter import wavefront_pixels_grid
-    fn = lambda sc, grid, cam, ids: wavefront_pixels_grid(
-        sc, grid, cam, cfg, ids)
+    from gvr_tpu.integrators.gridscatter import (
+        wavefront_pixels_grid, wavefront_pixels_grid_pooled)
+    wf = wavefront_pixels_grid_pooled if cfg.pool_regen \
+        else wavefront_pixels_grid
+    fn = lambda sc, grid, cam, ids: wf(sc, grid, cam, cfg, ids)
     if n_shards > 1:
         from gvr_tpu.parallel.sharding import make_mesh, shard_last_arg
         fn = shard_last_arg(fn, make_mesh(jax.devices()[:n_shards]), 4)

@@ -201,6 +201,45 @@ def test_grid_wavefront_matches_xla_engine(scene, grid):
     np.testing.assert_allclose(got.mean(), ref.mean(), rtol=2e-2)
 
 
+def test_grid_pooled_wavefront_matches_per_lane(scene, grid):
+    """Pooled regeneration (dead lanes claim the chunk's next
+    (pixel, sample) from a shared pool) must reproduce the per-lane grid
+    engine per PIXEL: RNG is (pixel, sample, bounce)-keyed so every
+    sample's radiance is lane-independent; only the per-pixel f32 add
+    grouping changes (per-sample slots summed in fixed order vs one
+    running per-lane sum), so agreement is ulp-level, not just in the
+    mean."""
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.integrators.gridscatter import wavefront_pixels_grid_pooled
+
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    cfg = RenderConfig(width=16, height=16, spp=4, pallas="interpret",
+                       solver=Solver.NEWTON, solver_iters=16,
+                       grid_solver_iters=16)
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
+    ref = np.asarray(wavefront_pixels_grid(scene, grid, cam, cfg, ids))
+    got = np.asarray(wavefront_pixels_grid_pooled(scene, grid, cam, cfg,
+                                                  ids))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=2e-6)
+
+
+def test_grid_pooled_is_chunk_invariant(scene, grid):
+    """Pooled per-pixel radiance must not depend on how pixels are
+    batched into chunks (the pool is chunk-local, but each sample's
+    slot sum is in fixed order)."""
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.integrators.multiscatter import render_multiscatter
+
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    cfg = RenderConfig(width=16, height=16, spp=4, pallas="interpret",
+                       engine="grid", solver=Solver.NEWTON,
+                       pool_regen=True)
+    a = render_multiscatter(scene, cam, cfg.replace(ray_chunk=64))
+    b = render_multiscatter(scene, cam, cfg.replace(ray_chunk=1 << 16))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_grid_cache_key_is_content_hash():
     """Sum-preserving scene edits (swap a gaussian's x/y position) must
     invalidate the grid cache (round-2 advisor finding: the old key was a

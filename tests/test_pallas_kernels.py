@@ -157,6 +157,36 @@ def test_megakernel_matches_step_wavefront(rng):
     np.testing.assert_allclose(img_mega, img_xla, atol=1e-4)
 
 
+def test_megakernel_pooled_matches_per_pixel(rng):
+    """The pooled-regeneration megakernel (block-shared (pixel, sample)
+    pool, one-hot dot_general gather/scatter — megatrace.py) must
+    reproduce the per-pixel megakernel per PIXEL: RNG streams are
+    (pixel, sample, bounce)-keyed so sample radiance is lane-independent;
+    only the per-pixel f32 add grouping changes (per-sample subtotals
+    flushed in completion order), so agreement is ulp-level.  spp=9
+    exercises the pooled slot->(pixel, sample) true-division decode at a
+    non-power-of-two spp."""
+    import dataclasses
+    from gvr_tpu.cameras import PinholeCamera
+    from gvr_tpu.config import RenderConfig
+    from gvr_tpu.integrators.multiscatter import wavefront_pixels
+
+    sc = parse_gmm(random_gaussian_scene(24, seed=7,
+                                         diameter=(0.2, 0.6),
+                                         density=(0.5, 2.0)))
+    cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
+    cfg = RenderConfig(width=16, height=16, spp=9, max_bounces=6,
+                       pallas="interpret", wavefront="mega")
+    ids = jnp.arange(256, dtype=jnp.int32)
+
+    img_lane = np.asarray(wavefront_pixels(sc, cam, cfg, ids))
+    cfg_pool = dataclasses.replace(cfg, pool_regen=True)
+    img_pool = np.asarray(wavefront_pixels(sc, cam, cfg_pool, ids))
+
+    assert np.isfinite(img_pool).all()
+    np.testing.assert_allclose(img_pool, img_lane, atol=1e-5)
+
+
 def test_megakernel_midrange_matches_big_and_xla(rng):
     """Midrange mega (256 < N <= MEGA_MAX_GAUSSIANS): the persistent
     megakernel keeps serving scenes past the per-bounce kernel's 256 cap
