@@ -125,9 +125,12 @@ class RenderConfig:
     # (per-sample slots summed in fixed order), so images differ from the
     # per-lane engine at the ulp level.  Measured per-lane occupancy is
     # 0.40-0.88 (benchmarks/occupancy_r5.json); pooling bounds the chunk
-    # loop at ~total_work/lanes + one path tail.  Default False until the
-    # on-silicon A/B (scripts/ab_pool.py) lands its numbers.
-    pool_regen: bool = False
+    # loop at ~total_work/lanes + one path tail.  Default True: the
+    # on-silicon A/B (benchmarks/pool_ab_r5.json, pool_mega_r5.json)
+    # measured 1.66x @2500g, 1.47x @10k, 1.51x @20k_bias, 1.06x @5000g
+    # (grid engine, 512^2 spp16) and 1.06x on the 1024^2 spp64 mega
+    # headline — never below 1.0x, images identical to <=1e-7 mean abs.
+    pool_regen: bool = True
     ray_chunk: int = 1 << 16       # rays per jitted chunk (memory bound)
     seed: int = 0                  # base RNG seed
     # per-ray candidate compaction: the free-flight solver runs on the

@@ -143,7 +143,8 @@ def test_megakernel_matches_step_wavefront(rng):
     # n_strat would diverge by 1 ulp (-> chaotic path divergence) if the
     # kernel used multiply-by-reciprocal instead of true division.
     cfg = RenderConfig(width=16, height=16, spp=9, max_bounces=6,
-                      pallas="interpret", wavefront="mega")
+                      pallas="interpret", wavefront="mega",
+                      pool_regen=False)
     ids = jnp.arange(256, dtype=jnp.int32)
 
     img_mega = np.asarray(wavefront_pixels(sc, cam, cfg, ids))
@@ -176,7 +177,8 @@ def test_megakernel_pooled_matches_per_pixel(rng):
                                          density=(0.5, 2.0)))
     cam = PinholeCamera.create([0, 1, 6], [0, 1, 0], 0.25 * math.pi)
     cfg = RenderConfig(width=16, height=16, spp=9, max_bounces=6,
-                       pallas="interpret", wavefront="mega")
+                       pallas="interpret", wavefront="mega",
+                       pool_regen=False)
     ids = jnp.arange(256, dtype=jnp.int32)
 
     img_lane = np.asarray(wavefront_pixels(sc, cam, cfg, ids))
