@@ -190,6 +190,28 @@ def build_section_r5() -> str:
             f"`benchmarks/tau_pair_spp64_bf16_r5.json`).")
         have_any = True
 
+    pool = _json("benchmarks/pool_ab_r5.json")
+    pm = _json("benchmarks/pool_mega_r5.json")
+    if pool and "scenes" in pool:
+        per = ", ".join(
+            f"{k.replace('.txt', '')} {v['speedup']:.2f}×"
+            for k, v in pool["scenes"].items())
+        mega = ""
+        if pm and "scenes" in pm:
+            r = next(iter(pm["scenes"].values()))
+            mega = (f"; 1024² spp64 mega headline "
+                    f"{r['lane_mrays']} → {r['pool_mrays']} Mrays/s "
+                    f"({r['speedup']:.2f}×)")
+        lines.append(
+            f"* **Pooled path regeneration** (dead lanes claim the "
+            f"chunk's next (pixel, sample) instead of idling; "
+            f"`RenderConfig.pool_regen`, **adopted as default**): grid "
+            f"engine at 512² spp16 — {per}{mega}; images agree with the "
+            f"per-lane engines to ≤1e-7 mean abs "
+            f"(`benchmarks/pool_ab_r5.json`, "
+            f"`benchmarks/pool_mega_r5.json`).")
+        have_any = True
+
     if os.path.exists(os.path.join(REPO, "docs/fit_demo/fit50_log.jsonl")):
         lines.append(
             "* **Inverse at reference scale** (50_random, 550 params, "
@@ -197,24 +219,40 @@ def build_section_r5() -> str:
             "iterations, 2231 s on one chip (docs/FIT_DEMO.md).")
         have_any = True
 
-    series = _rows("benchmarks/series_r5_512_spp16.jsonl")
-    series = [r for r in series if "scene" in r]
+    # series table: the pooled recapture when it exists (the adopted
+    # default), else the pre-pool r5 capture; prior rounds as comparison
+    pooled = [r for r in _rows("benchmarks/series_r5_pool_512_spp16.jsonl")
+              if "scene" in r]
+    lane5 = [r for r in _rows("benchmarks/series_r5_512_spp16.jsonl")
+             if "scene" in r]
+    series, src = (pooled, "benchmarks/series_r5_pool_512_spp16.jsonl") \
+        if pooled else (lane5, "benchmarks/series_r5_512_spp16.jsonl")
     if series:
         prev = {r["scene"]: r for r in
                 _rows("benchmarks/series_r4_512_spp16.jsonl")
                 if "scene" in r}
-        lines += ["", "512² spp16 over the 50 → 40k-Gaussian fixtures "
-                  "(`benchmarks/series_r5_512_spp16.jsonl`):", "",
-                  "| scene | engine | r4 Mrays/s | r5 Mrays/s | speedup |",
-                  "|---|---|---|---|---|"]
+        cols = "| scene | engine | r4 Mrays/s |"
+        rule = "|---|---|---|"
+        if pooled:
+            cols += " r5 per-lane |"
+            rule += "---|"
+        cols += " r5 Mrays/s | speedup vs r4 |"
+        rule += "---|---|"
+        lines += ["", f"512² spp16 over the 50 → 40k-Gaussian fixtures "
+                  f"(`{src}`):", "", cols, rule]
+        lane_by = {r["scene"]: r for r in lane5}
         for r in series:
             name = r["scene"].replace(".txt", "")
             p = prev.get(r["scene"])
             r4m = f"{p['mrays_per_sec']}" if p else "—"
             sp = (f"{r['mrays_per_sec'] / p['mrays_per_sec']:.2f}×"
                   if p else "—")
-            lines.append(f"| {name} | {r.get('engine', '?')} | {r4m} | "
-                         f"{r['mrays_per_sec']} | {sp} |")
+            row = f"| {name} | {r.get('engine', '?')} | {r4m} | "
+            if pooled:
+                l = lane_by.get(r["scene"])
+                row += (f"{l['mrays_per_sec']} | " if l else "— | ")
+            row += f"{r['mrays_per_sec']} | {sp} |"
+            lines.append(row)
         have_any = True
 
     if not have_any:
