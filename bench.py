@@ -123,8 +123,15 @@ def _series_geomean():
     """Geomean Mrays/s over the newest committed series artifact
     (benchmarks/series_r*.jsonl), plus its provenance, or None."""
     import glob
+    import re
     bdir = os.path.dirname(LAST_GOOD)
-    files = sorted(glob.glob(os.path.join(bdir, "series_r*.jsonl")))
+    # order by ROUND NUMBER then name (lexicographic alone puts r10
+    # before r4); within a round, suffixed recaptures (e.g. _pool) sort
+    # after the plain capture and win
+    files = sorted(
+        glob.glob(os.path.join(bdir, "series_r*.jsonl")),
+        key=lambda p: (int(re.search(r"series_r(\d+)",
+                                     os.path.basename(p)).group(1)), p))
     if not files:
         return None
     path = files[-1]

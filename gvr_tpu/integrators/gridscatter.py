@@ -216,7 +216,7 @@ def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
     iteration late; a final flush iteration drains the pipeline).  This
     halves the per-iteration sort/scan/kernel fixed costs vs separate
     passes."""
-    from gvr_tpu.integrators.multiscatter import strat_n
+    from gvr_tpu.integrators.multiscatter import strat_n, strat_uv
 
     b = ids.shape[0]
     w, h = cfg.width, cfg.height
@@ -227,10 +227,8 @@ def wavefront_pixels_grid(scene: Scene, grid: GridIndex, camera,
 
     def make_ray(sample_idx):
         xi = path_uniforms(ids, sample_idx, 0x7FFF0000, 2, cfg.seed)
-        sx = (sample_idx % n_strat).astype(jnp.float32)
-        sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
-        u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n_strat) / w
-        v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n_strat) / h
+        u, v = strat_uv(x, y, sample_idx, n_strat, w, h,
+                        xi[:, 0], xi[:, 1])
         return camera.sample_ray(jnp.stack([u, v], axis=-1))
 
     def cond(state):
@@ -338,7 +336,7 @@ def wavefront_pixels_grid_pooled(scene: Scene, grid: GridIndex, camera,
     g % spp): a pixel's samples are claimed consecutively, keeping
     same-cell rays temporally clustered for the cell-sorted tau pass.
     """
-    from gvr_tpu.integrators.multiscatter import strat_n
+    from gvr_tpu.integrators.multiscatter import strat_n, strat_uv
 
     b = ids.shape[0]
     w, h = cfg.width, cfg.height
@@ -349,12 +347,8 @@ def wavefront_pixels_grid_pooled(scene: Scene, grid: GridIndex, camera,
 
     def make_ray(px, sample_idx):
         xi = path_uniforms(px, sample_idx, 0x7FFF0000, 2, cfg.seed)
-        x = px % w
-        y = px // w
-        sx = (sample_idx % n_strat).astype(jnp.float32)
-        sy = ((sample_idx // n_strat) % n_strat).astype(jnp.float32)
-        u = (x.astype(jnp.float32) + (sx + xi[:, 0]) / n_strat) / w
-        v = (y.astype(jnp.float32) + (sy + xi[:, 1]) / n_strat) / h
+        u, v = strat_uv(px % w, px // w, sample_idx, n_strat, w, h,
+                        xi[:, 0], xi[:, 1])
         return camera.sample_ray(jnp.stack([u, v], axis=-1))
 
     def cond(state):

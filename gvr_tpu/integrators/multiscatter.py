@@ -322,11 +322,16 @@ def _wavefront_planes(scene: Scene, camera, cfg: RenderConfig, ids,
              cfg.solver_iters, cfg.min_scatter, cfg.rr_cap,
              cfg.rr_tail_after, cfg.rr_cap_tail, cfg.max_bounces,
              cfg.solver_finisher, cfg.mxu_coeffs, cfg.tau_bf16)
+    # the pooled variant round-trips pixel ids through f32 (one-hot
+    # dot_general gather — megatrace.py), exact only up to 2^24; larger
+    # framebuffers keep the per-lane kernel (estimator-identical, just
+    # lower occupancy) instead of silently corrupting RNG streams
+    pooled = cfg.pool_regen and cfg.width * cfg.height <= (1 << 24)
     out = mega_call(camera_vector(camera), table, ids[None], cfg_t,
                     lights_t, inten_t, env_t, block,
                     cfg.pallas == "interpret",
                     isinstance(camera, PinholeCamera),
-                    pooled=cfg.pool_regen)
+                    pooled=pooled)
     return out[0:3].T[:b0] / cfg.spp
 
 

@@ -4,9 +4,10 @@
 # measured 1.06-1.66x; RenderConfig.pool_regen now defaults True).
 #
 # Steps: mega smoke -> full fixture series incl 20k/40k (FIRST: the
-# spp64 headline row embeds the geomean of the newest series artifact)
-# -> spp64 headline (canonical: refreshes last_good.json) -> spp256
-# headline -> regenerate the README bench blocks.
+# spp64 headline row embeds the geomean of the newest series artifact,
+# so the series must be complete before the headline runs) -> spp64
+# headline (canonical: refreshes last_good.json) -> spp256 headline ->
+# regenerate the README bench blocks.
 #
 # IDEMPOTENT: every step checks its artifact and skips if it already
 # landed, so a watcher can re-run the whole queue after a mid-queue
@@ -14,28 +15,43 @@
 cd /root/repo
 mkdir -p /tmp/r5q /tmp/r4q benchmarks
 
-# Single-owner TPU lock, atomic acquire via mkdir (ADVICE r4: pid-file
-# check-then-write was TOCTOU).  bench.py's guard reads the r4 pid path.
+# Single-owner TPU lock.  Atomic acquire via `ln -s $$` — the symlink
+# carries the owner pid in the same syscall that creates the lock, so
+# there is no empty-pid window for a contender to misread as stale
+# (the r5_queue.sh mkdir+pid-file scheme had one).  A stale lock (dead
+# owner, or a leftover dir from the older scheme) is reaped and the
+# acquire retried; after a win, re-verify ownership to close the
+# reap-vs-fresh-acquire race.
 LOCK=/tmp/r5q/lock
-until mkdir "$LOCK" 2>/dev/null; do
-  owner=$(cat "$LOCK/pid" 2>/dev/null)
-  if [ -n "$owner" ] && kill -0 "$owner" 2>/dev/null; then
-    echo "$(date +%T) waiting for lock (pid $owner)..."
-    sleep 60
-  else
-    echo "reaping stale lock (owner ${owner:-unknown} is dead)"
-    rm -rf "$LOCK"
-  fi
-done
-echo $$ > "$LOCK/pid"
-echo $$ > /tmp/r4q/queue.running
+acquire() {
+  while true; do
+    if ln -s "$$" "$LOCK" 2>/dev/null; then
+      sleep 2
+      [ "$(readlink "$LOCK" 2>/dev/null)" = "$$" ] && return 0
+      continue
+    fi
+    owner=$(readlink "$LOCK" 2>/dev/null || cat "$LOCK/pid" 2>/dev/null)
+    if [ -n "$owner" ] && kill -0 "$owner" 2>/dev/null; then
+      echo "$(date +%T) waiting for lock (pid $owner)..."
+      sleep 60
+    else
+      echo "reaping stale lock (owner ${owner:-unknown} is dead)"
+      rm -rf "$LOCK"
+    fi
+  done
+}
+acquire
+echo $$ > /tmp/r4q/queue.running     # bench.py's guard reads this path
 export BENCH_QUEUE_OWNER=1
 trap 'rm -rf "$LOCK" /tmp/r4q/queue.running' EXIT
 
+# a log holds a REAL benchmark row (not a tunnel-down fallback)?
 has_row() {
   grep -E '^\{' "$1" 2>/dev/null \
     | grep -v 'LAST-KNOWN-GOOD\|unavailable' | grep -q '"unit"'
 }
+
+SERIES=benchmarks/series_r5_pool_512_spp16.jsonl
 
 echo "=== [0/4] pooled-mega smoke (256^2 spp4) ==="
 if has_row /tmp/r5q/q4_smoke.log; then
@@ -54,14 +70,19 @@ if grep -q 'falling back' /tmp/r5q/q4_smoke.log; then
 fi
 
 echo "=== [1/4] fixture series 512^2 spp16 incl 20k + 40k (pooled) ==="
-if [ "$(grep -cE '^\{"scene"' benchmarks/series_r5_pool_512_spp16.jsonl \
-        2>/dev/null)" -ge 8 ]; then
+if [ "$(grep -cE '^\{"scene"' "$SERIES" 2>/dev/null)" -ge 8 ]; then
   echo "series already captured — skip"
 else
   timeout 7200 python scripts/bench_series.py --size 512 --spp 16 \
       2>&1 | tee /tmp/r5q/q4_series.log
-  grep -E '^\{"scene"' /tmp/r5q/q4_series.log \
-      > benchmarks/series_r5_pool_512_spp16.jsonl
+  # publish the artifact ONLY when complete: a partial series would feed
+  # a not-comparable geomean into the headline row and last_good.json
+  if [ "$(grep -cE '^\{"scene"' /tmp/r5q/q4_series.log)" -ge 8 ]; then
+    grep -E '^\{"scene"' /tmp/r5q/q4_series.log > "$SERIES"
+  else
+    echo "series INCOMPLETE — not publishing; aborting for re-arm"
+    exit 5
+  fi
 fi
 
 echo "=== [2/4] spp64 headline (canonical — refreshes last_good) ==="

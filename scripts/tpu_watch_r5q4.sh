@@ -1,28 +1,37 @@
 #!/bin/bash
 # Wait for the axon TPU tunnel to recover, then run the round-5 pass-4
 # recapture queue (scripts/r5_queue4.sh — idempotent) and re-arm on
-# partial success.  Single-owner: atomic mkdir lock so two watchers can
-# never interleave on the chip (CLAUDE.md: double queues silently
+# partial success.  Single-owner: atomic `ln -s $$` lock (owner pid in
+# the symlink — no empty-pid reap window) so two watchers can never
+# interleave on the chip (CLAUDE.md: double queues silently
 # under-measure everything).
 cd /root/repo
 mkdir -p /tmp/r5q
 WLOCK=/tmp/r5q/watch4.lock
-if ! mkdir "$WLOCK" 2>/dev/null; then
-  owner=$(cat "$WLOCK/pid" 2>/dev/null)
+if ! ln -s "$$" "$WLOCK" 2>/dev/null; then
+  owner=$(readlink "$WLOCK" 2>/dev/null || cat "$WLOCK/pid" 2>/dev/null)
   if [ -n "$owner" ] && kill -0 "$owner" 2>/dev/null; then
     echo "another watcher (pid $owner) is live — refusing to start"
     exit 3
   fi
-  rm -rf "$WLOCK"; mkdir "$WLOCK" || exit 3
+  rm -rf "$WLOCK"
+  ln -s "$$" "$WLOCK" || exit 3
+  sleep 2
+  [ "$(readlink "$WLOCK" 2>/dev/null)" = "$$" ] || exit 3
 fi
-echo $$ > "$WLOCK/pid"
 trap 'rm -rf "$WLOCK"' EXIT
 
+# a log holds a REAL benchmark row (bench.py's LAST-KNOWN-GOOD fallback
+# row must NOT count as a capture)
+log_row() {
+  grep -E '^\{' "$1" 2>/dev/null \
+    | grep -v 'LAST-KNOWN-GOOD\|unavailable' | grep -q '"unit"'
+}
 complete() {
   [ "$(grep -cE '^\{"scene"' benchmarks/series_r5_pool_512_spp16.jsonl \
        2>/dev/null)" -ge 8 ] || return 1
-  grep -qE '^\{' /tmp/r5q/q4_h64.log 2>/dev/null || return 1
-  grep -qE '^\{' /tmp/r5q/q4_h256.log 2>/dev/null || return 1
+  log_row /tmp/r5q/q4_h64.log || return 1
+  log_row /tmp/r5q/q4_h256.log || return 1
   return 0
 }
 
@@ -32,7 +41,7 @@ while true; do
   # probe in a bounded subprocess (a hung tunnel can't wedge the watcher);
   # NEVER probe while a queue could be up — the queue lock check is first
   while true; do
-    if [ -d /tmp/r5q/lock ]; then
+    if [ -e /tmp/r5q/lock ] || [ -L /tmp/r5q/lock ]; then
       echo "queue lock present — not probing" >> /tmp/r5q/watch4.log
       sleep 300; continue
     fi

@@ -96,8 +96,11 @@ def test_checked_in_headline_numbers_agree():
     ended with three different headline values checked in)."""
     import glob
     import re
-    heads = sorted(glob.glob(os.path.join(
-        REPO, "benchmarks", "headline_spp64_r*.json")))
+    heads = sorted(
+        glob.glob(os.path.join(REPO, "benchmarks",
+                               "headline_spp64_r*.json")),
+        key=lambda p: (int(re.search(r"_r(\d+)",
+                                     os.path.basename(p)).group(1)), p))
     assert heads, "no headline artifact checked in"
     latest = _repo_rows(os.path.relpath(heads[-1], REPO))[-1]
     text = open(os.path.join(REPO, "README.md")).read()
