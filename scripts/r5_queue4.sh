@@ -3,11 +3,12 @@
 # path regeneration as the adopted default (benchmarks/pool_ab_r5.json
 # measured 1.06-1.66x; RenderConfig.pool_regen now defaults True).
 #
-# Steps: mega smoke -> full fixture series incl 20k/40k (FIRST: the
-# spp64 headline row embeds the geomean of the newest series artifact,
-# so the series must be complete before the headline runs) -> spp64
-# headline (canonical: refreshes last_good.json) -> spp256 headline ->
-# regenerate the README bench blocks.
+# Steps: mega smoke -> spp64 headline (canonical: refreshes
+# last_good.json — FIRST so the pooled win lands even if the wall clock
+# runs out mid-series; its embedded geomean cites the newest COMPLETE
+# series artifact by filename, so using the pre-pool series is honest)
+# -> spp256 headline -> full fixture series incl 20k/40k -> final spp64
+# re-run (now embeds the pooled series geomean) -> regenerate README.
 #
 # IDEMPOTENT: every step checks its artifact and skips if it already
 # landed, so a watcher can re-run the whole queue after a mid-queue
@@ -69,7 +70,28 @@ if grep -q 'falling back' /tmp/r5q/q4_smoke.log; then
   exit 4
 fi
 
-echo "=== [1/4] fixture series 512^2 spp16 incl 20k + 40k (pooled) ==="
+echo "=== [1/5] spp64 headline (canonical — refreshes last_good) ==="
+if has_row /tmp/r5q/q4_h64.log; then
+  echo "already captured — skip"
+else
+  timeout 2400 python bench.py 2>&1 | tee /tmp/r5q/q4_h64.log
+  grep -E '^\{' /tmp/r5q/q4_h64.log \
+      | grep -v 'LAST-KNOWN-GOOD\|unavailable' | tail -1 \
+      >> benchmarks/headline_spp64_r5.json || true
+fi
+
+echo "=== [2/5] spp256 headline ==="
+if has_row /tmp/r5q/q4_h256.log; then
+  echo "already captured — skip"
+else
+  timeout 3600 env BENCH_SPP=256 python bench.py 2>&1 \
+      | tee /tmp/r5q/q4_h256.log
+  grep -E '^\{' /tmp/r5q/q4_h256.log \
+      | grep -v 'LAST-KNOWN-GOOD\|unavailable' | tail -1 \
+      >> benchmarks/headline_spp256_r5.json || true
+fi
+
+echo "=== [3/5] fixture series 512^2 spp16 incl 20k + 40k (pooled) ==="
 if [ "$(grep -cE '^\{"scene"' "$SERIES" 2>/dev/null)" -ge 8 ]; then
   echo "series already captured — skip"
 else
@@ -85,27 +107,16 @@ else
   fi
 fi
 
-echo "=== [2/4] spp64 headline (canonical — refreshes last_good) ==="
-if has_row /tmp/r5q/q4_h64.log; then
+echo "=== [4/5] final spp64 headline (embeds the pooled series geomean) ==="
+if has_row /tmp/r5q/q4_h64b.log; then
   echo "already captured — skip"
 else
-  timeout 2400 python bench.py 2>&1 | tee /tmp/r5q/q4_h64.log
-  grep -E '^\{' /tmp/r5q/q4_h64.log \
+  timeout 2400 python bench.py 2>&1 | tee /tmp/r5q/q4_h64b.log
+  grep -E '^\{' /tmp/r5q/q4_h64b.log \
       | grep -v 'LAST-KNOWN-GOOD\|unavailable' | tail -1 \
       >> benchmarks/headline_spp64_r5.json || true
 fi
 
-echo "=== [3/4] spp256 headline ==="
-if has_row /tmp/r5q/q4_h256.log; then
-  echo "already captured — skip"
-else
-  timeout 3600 env BENCH_SPP=256 python bench.py 2>&1 \
-      | tee /tmp/r5q/q4_h256.log
-  grep -E '^\{' /tmp/r5q/q4_h256.log \
-      | grep -v 'LAST-KNOWN-GOOD\|unavailable' | tail -1 \
-      >> benchmarks/headline_spp256_r5.json || true
-fi
-
-echo "=== [4/4] regenerate README bench blocks ==="
+echo "=== [5/5] regenerate README bench blocks ==="
 python scripts/update_bench_docs.py
 echo "r5 queue pass 4 DONE"

@@ -32,6 +32,7 @@ complete() {
        2>/dev/null)" -ge 8 ] || return 1
   log_row /tmp/r5q/q4_h64.log || return 1
   log_row /tmp/r5q/q4_h256.log || return 1
+  log_row /tmp/r5q/q4_h64b.log || return 1
   return 0
 }
 
